@@ -1,0 +1,62 @@
+"""Flash-attention kernel vs the XLA reference path.
+
+On CPU the Pallas kernel runs in interpreter mode — numerics only; the
+compiled path is exercised by the TPU-gated suite and the benchmarks.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from dreamlab_tpu.ops.attention import _xla_attention, dot_product_attention
+
+
+def _rand_qkv(rs, b, n, m, h, d, dtype=jnp.float32):
+    q = jnp.asarray(rs.randn(b, n, h, d), dtype)
+    k = jnp.asarray(rs.randn(b, m, h, d), dtype)
+    v = jnp.asarray(rs.randn(b, m, h, d), dtype)
+    return q, k, v
+
+
+def test_xla_attention_matches_numpy():
+    rs = np.random.RandomState(0)
+    q, k, v = _rand_qkv(rs, 2, 16, 8, 2, 4)
+    scale = 4**-0.5
+    got = np.asarray(_xla_attention(q, k, v, scale))
+
+    qn, kn, vn = map(np.asarray, (q, k, v))
+    logits = np.einsum("bnhd,bmhd->bhnm", qn, kn) * scale
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    p = e / e.sum(-1, keepdims=True)
+    want = np.einsum("bhnm,bmhd->bnhd", p, vn)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "n,m,d",
+    [
+        (256, 256, 40),   # SD1.5 spatial self-attention shape class
+        (256, 77, 40),    # cross-attention: kv padded 77→128 + masked
+        (512, 256, 64),   # SDXL head dim
+        (256, 300, 128),  # full-lane head dim, multi-block masked kv
+    ],
+)
+def test_flash_matches_xla_interpret(n, m, d):
+    rs = np.random.RandomState(1)
+    q, k, v = _rand_qkv(rs, 1, n, m, 2, d)
+    scale = d**-0.5
+    want = np.asarray(_xla_attention(q, k, v, scale))
+    with pltpu.force_tpu_interpret_mode():
+        from dreamlab_tpu.ops.flash_attention import flash_attention
+
+        got = np.asarray(flash_attention(q, k, v, scale=scale, block_q=128))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_dispatcher_falls_back_off_tpu():
+    rs = np.random.RandomState(2)
+    q, k, v = _rand_qkv(rs, 1, 256, 256, 2, 40)
+    out = dot_product_attention(q, k, v)  # auto → xla on CPU
+    assert out.shape == q.shape
