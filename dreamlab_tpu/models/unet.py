@@ -1,0 +1,326 @@
+"""Conditional diffusion UNet (SD1.5 / SDXL topologies), NHWC, pure functional.
+
+The execution core the TPU build replaces: the reference runs this as a
+compiled RKNN graph (/root/reference/backends/rknnlcm.py:586-604) or a
+diffusers CUDA module (/root/reference/backends/cuda_worker.py:221-229).
+Here the whole UNet is one traced function — XLA fuses the elementwise
+chains into the convs, and spatial attention dispatches to the Pallas flash
+kernel (ops/attention.py).
+
+Design notes (TPU-first):
+- NHWC activations / HWIO kernels end-to-end: the layout the TPU conv units
+  prefer, and the same boundary convention the reference's NPU used
+  (rknnlcm.py:148-155) — but held *internally*, not transposed at an API edge.
+- GroupNorm statistics in fp32; everything else follows the params dtype
+  (bf16 in production) with fp32 MXU accumulation.
+- No Python control flow on traced values; the architecture loop structure
+  is static per config, so each (config, H, W) pair traces to a fixed graph.
+
+Config semantics mirror diffusers' UNet2DConditionModel so detection by
+``cross_attention_dim`` (engine/detect) and weight loading stay 1:1 with the
+reference's checkpoint ecosystem.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import dot_product_attention
+from .configs import UNetConfig
+from .layers import (
+    conv2d,
+    geglu,
+    group_norm,
+    init_conv,
+    init_linear,
+    init_norm,
+    layer_norm,
+    linear,
+    nearest_upsample,
+    silu,
+    timestep_embedding,
+)
+
+
+# ---------------------------------------------------------------------------
+# blocks
+# ---------------------------------------------------------------------------
+
+
+def _resnet(p, x, emb, *, groups):
+    """ResnetBlock2D: GN→SiLU→conv, +time, GN→SiLU→conv, +skip."""
+    h = conv2d(p["conv1"], silu(group_norm(p["norm1"], x, groups=groups)))
+    t = linear(p["time_emb_proj"], silu(emb))
+    h = h + t[:, None, None, :].astype(h.dtype)
+    h = conv2d(p["conv2"], silu(group_norm(p["norm2"], h, groups=groups)))
+    if "shortcut" in p:
+        x = conv2d(p["shortcut"], x)
+    return x + h
+
+
+def _attention(p, x, context, *, heads):
+    """Multi-head attention over token axis. x: [B, N, C]; context: [B, M, Cc]
+    or None for self-attention."""
+    b, n, c = x.shape
+    d = c // heads
+    ctx = x if context is None else context
+    q = linear(p["q"], x).reshape(b, n, heads, d)
+    k = linear(p["k"], ctx).reshape(b, ctx.shape[1], heads, d)
+    v = linear(p["v"], ctx).reshape(b, ctx.shape[1], heads, d)
+    out = dot_product_attention(q, k, v)
+    return linear(p["out"], out.reshape(b, n, c))
+
+
+def _transformer_block(p, x, context, *, heads):
+    """BasicTransformerBlock: self-attn, cross-attn, GEGLU FF (pre-LN)."""
+    x = x + _attention(p["attn1"], layer_norm(p["ln1"], x), None, heads=heads)
+    x = x + _attention(p["attn2"], layer_norm(p["ln2"], x), context, heads=heads)
+    h = layer_norm(p["ln3"], x)
+    h = linear(p["ff_out"], geglu(p["ff_geglu"], h))
+    return x + h
+
+
+def _spatial_transformer(p, x, context, *, heads, groups):
+    """Transformer2DModel: GN, project in, token-space blocks, project out,
+    residual. Projections are channel-wise linear (≡ the 1×1 convs SD1.5
+    checkpoints store; the loader flattens them)."""
+    b, h_, w_, c = x.shape
+    residual = x
+    x = group_norm(p["norm"], x, groups=groups, eps=1e-6)
+    x = linear(p["proj_in"], x.reshape(b, h_ * w_, c))
+    for blk in p["blocks"]:
+        x = _transformer_block(blk, x, context, heads=heads)
+    x = linear(p["proj_out"], x)
+    return x.reshape(b, h_, w_, c) + residual
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def forward(
+    params,
+    cfg: UNetConfig,
+    sample: jnp.ndarray,
+    timesteps: jnp.ndarray,
+    encoder_hidden_states: jnp.ndarray,
+    timestep_cond: Optional[jnp.ndarray] = None,
+    added_text_embeds: Optional[jnp.ndarray] = None,
+    added_time_ids: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Predict noise for ``sample`` [B, H, W, 4] at ``timesteps`` [B].
+
+    encoder_hidden_states: [B, 77, cross_attention_dim] text conditioning.
+    timestep_cond: [B, time_cond_proj_dim] LCM guidance embedding (w).
+    added_text_embeds / added_time_ids: SDXL micro-conditioning
+    ([B, pooled_dim], [B, 6]).
+    """
+    dtype = params["conv_in"]["w"].dtype
+    x = sample.astype(dtype)
+    context = encoder_hidden_states.astype(dtype)
+
+    # --- time embedding (fp32 sinusoid, then MLP in params dtype) ---
+    t_emb = timestep_embedding(
+        timesteps, cfg.block_out_channels[0],
+        flip_sin_to_cos=cfg.flip_sin_to_cos, downscale_freq_shift=cfg.freq_shift,
+    ).astype(dtype)
+    if cfg.time_cond_proj_dim is not None and timestep_cond is not None:
+        t_emb = t_emb + linear(
+            params["time_embedding"]["cond_proj"], timestep_cond.astype(dtype)
+        )
+    emb = linear(params["time_embedding"]["linear_1"], t_emb)
+    emb = linear(params["time_embedding"]["linear_2"], silu(emb))
+
+    if cfg.addition_embed_type == "text_time":
+        time_ids_emb = timestep_embedding(
+            added_time_ids.reshape(-1), cfg.addition_time_embed_dim,
+            flip_sin_to_cos=cfg.flip_sin_to_cos,
+            downscale_freq_shift=cfg.freq_shift,
+        ).reshape(added_time_ids.shape[0], -1)
+        add = jnp.concatenate(
+            [added_text_embeds.astype(jnp.float32), time_ids_emb], axis=-1
+        ).astype(dtype)
+        a = linear(params["add_embedding"]["linear_1"], add)
+        emb = emb + linear(params["add_embedding"]["linear_2"], silu(a))
+
+    # --- down ---
+    x = conv2d(params["conv_in"], x)
+    skips = [x]
+    for i, block in enumerate(params["down"]):
+        heads = cfg.num_attention_heads[i]
+        for j, res in enumerate(block["resnets"]):
+            x = _resnet(res, x, emb, groups=cfg.norm_groups)
+            if block.get("attentions"):
+                x = _spatial_transformer(
+                    block["attentions"][j], x, context,
+                    heads=heads, groups=cfg.norm_groups,
+                )
+            skips.append(x)
+        if "downsample" in block:
+            x = conv2d(block["downsample"], x, stride=2)
+            skips.append(x)
+
+    # --- mid ---
+    mid = params["mid"]
+    x = _resnet(mid["resnet1"], x, emb, groups=cfg.norm_groups)
+    if "attention" in mid:
+        x = _spatial_transformer(
+            mid["attention"], x, context,
+            heads=cfg.num_attention_heads[-1], groups=cfg.norm_groups,
+        )
+    x = _resnet(mid["resnet2"], x, emb, groups=cfg.norm_groups)
+
+    # --- up ---
+    for k, block in enumerate(params["up"]):
+        heads = cfg.num_attention_heads[cfg.num_blocks - 1 - k]
+        for j, res in enumerate(block["resnets"]):
+            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            x = _resnet(res, x, emb, groups=cfg.norm_groups)
+            if block.get("attentions"):
+                x = _spatial_transformer(
+                    block["attentions"][j], x, context,
+                    heads=heads, groups=cfg.norm_groups,
+                )
+        if "upsample" in block:
+            x = conv2d(block["upsample"], nearest_upsample(x))
+
+    x = silu(group_norm(params["norm_out"], x, groups=cfg.norm_groups))
+    x = conv2d(params["conv_out"], x)
+    return x.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# init (tests / cold start)
+# ---------------------------------------------------------------------------
+
+
+def _init_resnet(rng, cin, cout, temb_dim, groups, dtype):
+    p = {
+        "norm1": init_norm(cin, dtype=dtype),
+        "conv1": init_conv(rng, 3, 3, cin, cout, dtype=dtype),
+        "time_emb_proj": init_linear(rng, temb_dim, cout, dtype=dtype),
+        "norm2": init_norm(cout, dtype=dtype),
+        "conv2": init_conv(rng, 3, 3, cout, cout, dtype=dtype),
+    }
+    if cin != cout:
+        p["shortcut"] = init_conv(rng, 1, 1, cin, cout, dtype=dtype)
+    return p
+
+
+def _init_attn(rng, c, ctx_dim, dtype):
+    return {
+        "q": init_linear(rng, c, c, bias=False, dtype=dtype),
+        "k": init_linear(rng, ctx_dim, c, bias=False, dtype=dtype),
+        "v": init_linear(rng, ctx_dim, c, bias=False, dtype=dtype),
+        "out": init_linear(rng, c, c, dtype=dtype),
+    }
+
+
+def _init_transformer(rng, c, ctx_dim, n_layers, dtype):
+    def block():
+        return {
+            "ln1": init_norm(c, dtype=dtype),
+            "attn1": _init_attn(rng, c, c, dtype),
+            "ln2": init_norm(c, dtype=dtype),
+            "attn2": _init_attn(rng, c, ctx_dim, dtype),
+            "ln3": init_norm(c, dtype=dtype),
+            "ff_geglu": init_linear(rng, c, 8 * c, dtype=dtype),
+            "ff_out": init_linear(rng, 4 * c, c, dtype=dtype),
+        }
+
+    return {
+        "norm": init_norm(c, dtype=dtype),
+        "proj_in": init_linear(rng, c, c, dtype=dtype),
+        "blocks": [block() for _ in range(n_layers)],
+        "proj_out": init_linear(rng, c, c, dtype=dtype),
+    }
+
+
+def init_params(cfg: UNetConfig, rng: Optional[np.random.RandomState] = None, dtype=np.float32):
+    rng = rng or np.random.RandomState(0)
+    temb = cfg.time_embed_dim
+    chans = cfg.block_out_channels
+    ctx = cfg.cross_attention_dim
+
+    params = {
+        "conv_in": init_conv(rng, 3, 3, cfg.in_channels, chans[0], dtype=dtype),
+        "time_embedding": {
+            "linear_1": init_linear(rng, chans[0], temb, dtype=dtype),
+            "linear_2": init_linear(rng, temb, temb, dtype=dtype),
+        },
+    }
+    if cfg.time_cond_proj_dim is not None:
+        params["time_embedding"]["cond_proj"] = init_linear(
+            rng, cfg.time_cond_proj_dim, chans[0], bias=False, dtype=dtype
+        )
+    if cfg.addition_embed_type == "text_time":
+        params["add_embedding"] = {
+            "linear_1": init_linear(
+                rng, cfg.projection_class_embeddings_input_dim, temb, dtype=dtype
+            ),
+            "linear_2": init_linear(rng, temb, temb, dtype=dtype),
+        }
+
+    # --- down; track skip channels exactly as forward consumes them ---
+    down = []
+    skip_chans = [chans[0]]
+    cur = chans[0]
+    for i, cout in enumerate(chans):
+        tl = cfg.transformer_layers_per_block[i]
+        block = {"resnets": []}
+        if tl > 0:
+            block["attentions"] = []
+        for _ in range(cfg.layers_per_block):
+            block["resnets"].append(_init_resnet(rng, cur, cout, temb, cfg.norm_groups, dtype))
+            cur = cout
+            if tl > 0:
+                block["attentions"].append(_init_transformer(rng, cout, ctx, tl, dtype))
+            skip_chans.append(cout)
+        if i < cfg.num_blocks - 1:
+            block["downsample"] = init_conv(rng, 3, 3, cout, cout, dtype=dtype)
+            skip_chans.append(cout)
+        down.append(block)
+    params["down"] = down
+
+    # --- mid ---
+    mid_c = chans[-1]
+    mid = {
+        "resnet1": _init_resnet(rng, mid_c, mid_c, temb, cfg.norm_groups, dtype),
+        "resnet2": _init_resnet(rng, mid_c, mid_c, temb, cfg.norm_groups, dtype),
+    }
+    if cfg.has_mid_attention:
+        mid["attention"] = _init_transformer(
+            rng, mid_c, ctx, cfg.mid_block_transformer_layers, dtype
+        )
+    params["mid"] = mid
+
+    # --- up (reverse order) ---
+    up = []
+    cur = mid_c
+    rev = list(reversed(chans))
+    for k, cout in enumerate(rev):
+        i = cfg.num_blocks - 1 - k  # matching down-block index
+        tl = cfg.transformer_layers_per_block[i]
+        block = {"resnets": []}
+        if tl > 0:
+            block["attentions"] = []
+        for _ in range(cfg.layers_per_block + 1):
+            skip = skip_chans.pop()
+            block["resnets"].append(
+                _init_resnet(rng, cur + skip, cout, temb, cfg.norm_groups, dtype)
+            )
+            cur = cout
+            if tl > 0:
+                block["attentions"].append(_init_transformer(rng, cout, ctx, tl, dtype))
+        if k < cfg.num_blocks - 1:
+            block["upsample"] = init_conv(rng, 3, 3, cout, cout, dtype=dtype)
+        up.append(block)
+    params["up"] = up
+
+    params["norm_out"] = init_norm(chans[0], dtype=dtype)
+    params["conv_out"] = init_conv(rng, 3, 3, chans[0], cfg.out_channels, dtype=dtype)
+    return params
