@@ -1,0 +1,334 @@
+"""txt2img pipeline: one XLA program per (batch, H, W, steps) bucket.
+
+This replaces the reference's Python-orchestrated loop
+(/root/reference/backends/rknnlcm.py:450-647: per-step RKNN graph calls with
+host round-trips, per-image VAE decode, numpy postprocess) with a single
+jitted function: CLIP encode → ``lax.scan`` over the LCM denoise steps →
+VAE decode → uint8 conversion, all on device. One host→device transfer
+(latents/noise/ids) and one device→host transfer (uint8 pixels) per request.
+
+Key idiomatic choices:
+- **Weights are inputs.** The jitted program closes over configs (static)
+  but takes every parameter pytree as an argument — swapping a mode's
+  checkpoint or LoRA-merged weights never recompiles (BASELINE.json north
+  star), because the pytree structure/shapes are identical per architecture.
+- **Seed compatibility.** Latents are sampled host-side from
+  ``np.random.RandomState(seed)`` in NCHW then transposed, exactly like the
+  reference (rknnlcm.py:423-447), so a given seed produces the same initial
+  noise; per-step renoising draws from the same stream (the reference
+  delegated that to torch's global RNG — here it is seed-deterministic).
+- **Static shapes.** (B, H, W, steps) define a compile bucket; the worker
+  warms up its mode's default bucket at load (engine.tpu_worker).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .loader import PipelineBundle
+from .models import clip_text, unet, vae
+from .models.layers import cast_tree
+from .scheduler.lcm import (
+    LCMSchedule,
+    guidance_scale_embedding,
+    lcm_step,
+    make_lcm_schedule,
+)
+
+logger = logging.getLogger(__name__)
+
+# SDXL LCM checkpoints keep time_cond_proj; plain SDXL uses classic CFG.
+_SDXL_DEFAULT_TIME_IDS = (1024, 1024, 0, 0, 1024, 1024)
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    images: np.ndarray  # [B, H, W, 3] uint8
+    seed: int
+    latents: np.ndarray  # [B, h, w, 4] fp32 — final denoised latents
+    timings: Dict[str, float]
+
+
+class LCMPipeline:
+    """Serving pipeline for one loaded checkpoint.
+
+    Args:
+        bundle: loaded checkpoint (loader.load_pipeline).
+        dtype: compute/param dtype for the big matmuls (bf16 on TPU).
+        attention_impl: 'auto' | 'flash' | 'xla'.
+    """
+
+    def __init__(
+        self,
+        bundle: PipelineBundle,
+        *,
+        dtype=jnp.bfloat16,
+        attention_impl: str = "auto",
+        device=None,
+    ):
+        self.bundle = bundle
+        self.arch = bundle.arch
+        self.dtype = dtype
+        self.attention_impl = attention_impl
+        self.device = device or jax.devices()[0]
+
+        put = lambda tree: jax.device_put(cast_tree(tree, dtype), self.device)
+        self.text_params = put(bundle.text_params)
+        self.unet_params = put(bundle.unet_params)
+        self.vae_params = put(bundle.vae_params)
+        self.text_params_2 = (
+            put(bundle.text_params_2) if bundle.text_params_2 else None
+        )
+        self._compiled: Dict[Tuple, Any] = {}
+        self._schedules: Dict[Tuple[int, Optional[int]], LCMSchedule] = {}
+        self.vae_scale = bundle.vae_cfg.scale_factor
+        self.latent_channels = bundle.vae_cfg.latent_channels
+
+    # ------------------------------------------------------------------
+    # host-side preparation
+    # ------------------------------------------------------------------
+
+    def _schedule(self, steps: int, original_steps: Optional[int]) -> LCMSchedule:
+        key = (steps, original_steps)
+        if key not in self._schedules:
+            self._schedules[key] = make_lcm_schedule(
+                self.bundle.scheduler_cfg, steps, original_steps
+            )
+        return self._schedules[key]
+
+    def _sample_noise(
+        self, seed: int, batch: int, h_lat: int, w_lat: int, steps: int,
+        init_noise_sigma: float,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Host-side NCHW sampling for reference seed compatibility."""
+        rs = np.random.RandomState(seed & 0x7FFFFFFF)
+        c = self.latent_channels
+        lat = rs.randn(batch, c, h_lat, w_lat).astype(np.float32)
+        lat = lat.transpose(0, 2, 3, 1) * init_noise_sigma
+        noises = rs.randn(steps, batch, c, h_lat, w_lat).astype(np.float32)
+        noises = noises.transpose(0, 1, 3, 4, 2)
+        return np.ascontiguousarray(lat), np.ascontiguousarray(noises)
+
+    # ------------------------------------------------------------------
+    # traced program
+    # ------------------------------------------------------------------
+
+    def _build(self, batch: int, h_lat: int, w_lat: int, steps: int, cfg_mode: str):
+        """Trace + jit the full txt2img program for one shape bucket.
+
+        cfg_mode: 'wcond' (LCM guidance embedding) or 'cfg' (classifier-free
+        guidance with doubled batch) or 'none'.
+        """
+        b = self.bundle
+        text_cfg, unet_cfg, vae_cfg = b.text_cfg, b.unet_cfg, b.vae_cfg
+        is_xl = self.arch == "sdxl"
+        text_cfg_2 = b.text_cfg_2
+
+        def encode(text_params, text_params_2, ids, ids_2):
+            if not is_xl or text_params_2 is None:
+                seq, _ = clip_text.encode_text(text_params, ids, text_cfg)
+                return seq, None
+            seq1, _ = clip_text.encode_text(text_params, ids, text_cfg)
+            seq2, pooled = clip_text.encode_text(text_params_2, ids_2, text_cfg_2)
+            return jnp.concatenate([seq1, seq2], axis=-1), pooled
+
+        def program(
+            text_params, text_params_2, unet_params, vae_params,
+            ids, ids_neg, ids_2, ids_2_neg,
+            latents0, noises, schedule: LCMSchedule, w_emb, guidance, time_ids,
+        ):
+            ctx, pooled = encode(text_params, text_params_2, ids, ids_2)
+            if cfg_mode == "cfg":
+                ctx_neg, pooled_neg = encode(
+                    text_params, text_params_2, ids_neg, ids_2_neg
+                )
+
+            added_kw = {}
+            if is_xl:
+                added_kw = dict(added_text_embeds=pooled, added_time_ids=time_ids)
+
+            def unet_step(lat, i):
+                t = jnp.full((batch,), schedule.timesteps[i], jnp.int32)
+                if cfg_mode == "wcond":
+                    return unet.forward(
+                        unet_params, unet_cfg, lat, t, ctx,
+                        timestep_cond=w_emb, **added_kw,
+                    )
+                if cfg_mode == "cfg":
+                    # batch-doubled classifier-free guidance
+                    lat2 = jnp.concatenate([lat, lat], axis=0)
+                    t2 = jnp.concatenate([t, t], axis=0)
+                    ctx2 = jnp.concatenate([ctx_neg, ctx], axis=0)
+                    kw = {}
+                    if is_xl:
+                        kw = dict(
+                            added_text_embeds=jnp.concatenate(
+                                [pooled_neg, pooled], axis=0
+                            ),
+                            added_time_ids=jnp.concatenate(
+                                [time_ids, time_ids], axis=0
+                            ),
+                        )
+                    out = unet.forward(unet_params, unet_cfg, lat2, t2, ctx2, **kw)
+                    uncond, cond = jnp.split(out, 2, axis=0)
+                    return uncond + guidance * (cond - uncond)
+                return unet.forward(unet_params, unet_cfg, lat, t, ctx, **added_kw)
+
+            def body(carry, inp):
+                i, lat = carry
+                noise_pred = unet_step(lat, i)
+                lat, denoised = lcm_step(
+                    schedule, i, noise_pred, lat, inp,
+                    prediction_type=b.scheduler_cfg.prediction_type,
+                )
+                return (i + 1, lat), denoised
+
+            (_, _), denoised_seq = jax.lax.scan(
+                body, (jnp.int32(0), latents0), noises
+            )
+            denoised = denoised_seq[-1]
+
+            img = vae.decode(vae_params, vae_cfg, denoised / vae_cfg.scaling_factor)
+            img = jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+            img_u8 = jnp.round(img * 255.0).astype(jnp.uint8)
+            return img_u8, denoised
+
+        return jax.jit(program, donate_argnums=(8, 9))
+
+    def _get_compiled(self, batch, h_lat, w_lat, steps, cfg_mode):
+        key = (batch, h_lat, w_lat, steps, cfg_mode)
+        if key not in self._compiled:
+            self._compiled[key] = self._build(batch, h_lat, w_lat, steps, cfg_mode)
+        return self._compiled[key]
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def warmup(self, height: int, width: int, steps: int = 4, batch: int = 1):
+        """Ahead-of-time compile for a bucket (mode-switch budget management;
+        see SURVEY.md §7.3 recompilation management)."""
+        t0 = time.time()
+        self.generate("warmup", height=height, width=width,
+                      num_inference_steps=steps, seed=0, batch=batch)
+        logger.info(
+            "warmup %dx%dx%d steps=%d in %.1fs",
+            batch, height, width, steps, time.time() - t0,
+        )
+
+    def generate(
+        self,
+        prompt,
+        *,
+        height: int = 512,
+        width: int = 512,
+        num_inference_steps: int = 4,
+        original_inference_steps: Optional[int] = None,
+        guidance_scale: float = 1.0,
+        negative_prompt: Optional[Any] = None,
+        seed: Optional[int] = None,
+        batch: Optional[int] = None,
+        latents: Optional[np.ndarray] = None,
+    ) -> GenerationResult:
+        """Generate images. Returns uint8 [B, H, W, 3] + final latents.
+
+        Guidance semantics follow the reference: for LCM checkpoints
+        (time_cond_proj_dim set) guidance conditions via the w-embedding and
+        CFG is disabled (rknnlcm.py:526-528); otherwise classic CFG applies
+        when guidance_scale > 1.
+        """
+        # latents must survive every UNet downsample without odd dims
+        divisor = self.vae_scale * 2 ** (self.bundle.unet_cfg.num_blocks - 1)
+        if height % divisor or width % divisor:
+            raise ValueError(
+                f"height/width must be multiples of {divisor} "
+                f"(got {width}x{height})"
+            )
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        if batch is not None and len(prompts) == 1:
+            prompts = prompts * batch
+        bsz = len(prompts)
+        if seed is None:
+            seed = int(np.random.randint(0, 2**31 - 1))
+
+        t_start = time.time()
+        b = self.bundle
+        is_xl = self.arch == "sdxl"
+        lcm_mode = b.unet_cfg.time_cond_proj_dim is not None
+        if lcm_mode:
+            cfg_mode = "wcond"
+        elif guidance_scale > 1.0:
+            cfg_mode = "cfg"
+        else:
+            cfg_mode = "none"
+
+        ids = jnp.asarray(b.tokenizer(prompts))
+        neg = negative_prompt
+        negs = (
+            [""] * bsz if neg is None
+            else ([neg] * bsz if isinstance(neg, str) else list(neg))
+        )
+        ids_neg = jnp.asarray(b.tokenizer(negs)) if cfg_mode == "cfg" else ids
+        if is_xl and b.tokenizer_2 is not None:
+            ids_2 = jnp.asarray(b.tokenizer_2(prompts))
+            ids_2_neg = (
+                jnp.asarray(b.tokenizer_2(negs)) if cfg_mode == "cfg" else ids_2
+            )
+        else:
+            ids_2 = ids_2_neg = ids
+
+        schedule = self._schedule(num_inference_steps, original_inference_steps)
+        h_lat, w_lat = height // self.vae_scale, width // self.vae_scale
+        lat0, noises = self._sample_noise(
+            seed, bsz, h_lat, w_lat, num_inference_steps,
+            schedule.init_noise_sigma,
+        )
+        if latents is not None:
+            # provided latents are raw noise; scale by init sigma exactly as
+            # the reference does (rknnlcm.py:444-447)
+            lat0 = np.asarray(latents, np.float32) * schedule.init_noise_sigma
+            if lat0.shape != (bsz, h_lat, w_lat, self.latent_channels):
+                raise ValueError(f"unexpected latents shape {lat0.shape}")
+
+        if lcm_mode:
+            w = np.full((bsz,), guidance_scale - 1.0)
+            w_emb = guidance_scale_embedding(w, b.unet_cfg.time_cond_proj_dim)
+        else:
+            w_emb = jnp.zeros((bsz, 1), jnp.float32)
+
+        time_ids = jnp.asarray(
+            [[height, width, 0, 0, height, width]] * bsz, jnp.float32
+        )
+        t_prep = time.time()
+
+        fn = self._get_compiled(bsz, h_lat, w_lat, num_inference_steps, cfg_mode)
+        img_u8, denoised = fn(
+            self.text_params, self.text_params_2, self.unet_params,
+            self.vae_params,
+            ids, ids_neg, ids_2, ids_2_neg,
+            jnp.asarray(lat0), jnp.asarray(noises), schedule, w_emb,
+            jnp.float32(guidance_scale), time_ids,
+        )
+        images = np.asarray(jax.block_until_ready(img_u8))
+        final_latents = np.asarray(denoised)
+        t_done = time.time()
+
+        return GenerationResult(
+            images=images,
+            seed=seed,
+            latents=final_latents,
+            timings={
+                "prep": t_prep - t_start,
+                "device": t_done - t_prep,
+                "total": t_done - t_start,
+            },
+        )

@@ -32,6 +32,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 
@@ -105,7 +106,8 @@ class LCMSchedule:
     Every field has leading dimension ``num_inference_steps``; all are
     device-transferable and shape-stable for a given step count, so a jitted
     program compiled for S steps accepts any schedule with S steps (e.g. a
-    different ``original_inference_steps``) without recompiling.
+    different ``original_inference_steps``) without recompiling. Registered
+    as a pytree so it can cross the jit boundary as one argument.
     """
 
     timesteps: jnp.ndarray  # int32 [S] — training-timestep index fed to the UNet
@@ -121,6 +123,17 @@ class LCMSchedule:
     @property
     def num_steps(self) -> int:
         return int(self.timesteps.shape[0])
+
+
+jax.tree_util.register_dataclass(
+    LCMSchedule,
+    data_fields=[
+        "timesteps", "sqrt_alpha_prod", "sqrt_beta_prod",
+        "sqrt_alpha_prod_prev", "sqrt_beta_prod_prev",
+        "c_skip", "c_out", "add_noise",
+    ],
+    meta_fields=["init_noise_sigma"],
+)
 
 
 def lcm_timesteps(

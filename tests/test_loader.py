@@ -294,14 +294,16 @@ def make_tiny_checkpoint(root, arch="sd15"):
 
     tok = make_test_tokenizer(["cat", "dog", "sunset"])
     vocab_size = len(tok.encoder)
+    # hidden width must equal the UNet's cross_attention_dim (768 keeps the
+    # checkpoint classified as SD1.5-class, as in real SD1.5)
     text_cfg = configs.CLIPTextConfig(
-        vocab_size=vocab_size, hidden_size=32, num_layers=2, num_heads=2,
+        vocab_size=vocab_size, hidden_size=768, num_layers=2, num_heads=2,
         intermediate_size=64,
     )
     os.makedirs(os.path.join(root, "text_encoder"))
     with open(os.path.join(root, "text_encoder", "config.json"), "w") as f:
         json.dump({
-            "vocab_size": vocab_size, "hidden_size": 32, "num_hidden_layers": 2,
+            "vocab_size": vocab_size, "hidden_size": 768, "num_hidden_layers": 2,
             "num_attention_heads": 2, "intermediate_size": 64,
             "architectures": ["CLIPTextModel"], "hidden_act": "quick_gelu",
         }, f)
@@ -338,7 +340,7 @@ def test_load_pipeline_end_to_end(tmp_path):
     rs = np.random.RandomState(0)
     ids = bundle.tokenizer("a cat at sunset")
     seq, _ = clip_text.encode_text(bundle.text_params, jnp.asarray(ids), bundle.text_cfg)
-    assert seq.shape == (1, 77, 32)
+    assert seq.shape == (1, 77, 768)
     out = unet.forward(
         bundle.unet_params, bundle.unet_cfg,
         jnp.asarray(rs.randn(1, 4, 4, 4), jnp.float32),

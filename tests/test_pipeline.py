@@ -1,0 +1,95 @@
+"""End-to-end txt2img pipeline on the tiny synthetic checkpoint (CPU).
+
+Covers the determinism / reproducibility contracts the reference asserts on
+real hardware (test_sdxl_worker.py:171-298): same seed ⇒ bit-exact images,
+different seeds diverge, shape/validation errors, latent output format.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dreamlab_tpu import loader
+from dreamlab_tpu.pipeline import LCMPipeline
+from tests.test_loader import make_tiny_checkpoint
+
+
+@pytest.fixture(scope="module")
+def pipe(tmp_path_factory):
+    d = make_tiny_checkpoint(tmp_path_factory.mktemp("ckpt") / "m")
+    bundle = loader.load_pipeline(d)
+    # fp32 on CPU: deterministic and exercises the default test tier
+    return LCMPipeline(bundle, dtype=jnp.float32)
+
+
+def test_generate_shapes_and_types(pipe):
+    res = pipe.generate("a cat", height=32, width=32, num_inference_steps=2, seed=7)
+    assert res.images.shape == (1, 32, 32, 3)
+    assert res.images.dtype == np.uint8
+    assert res.latents.shape == (1, 16, 16, 4)
+    assert res.seed == 7
+
+
+def test_same_seed_bit_exact(pipe):
+    a = pipe.generate("a cat", height=32, width=32, num_inference_steps=2, seed=123)
+    b = pipe.generate("a cat", height=32, width=32, num_inference_steps=2, seed=123)
+    np.testing.assert_array_equal(a.images, b.images)
+
+
+def test_different_seeds_diverge(pipe):
+    a = pipe.generate("a cat", height=32, width=32, num_inference_steps=2, seed=1)
+    b = pipe.generate("a cat", height=32, width=32, num_inference_steps=2, seed=2)
+    assert not np.array_equal(a.images, b.images)
+
+
+def test_prompt_changes_output(pipe):
+    a = pipe.generate("a cat", height=32, width=32, num_inference_steps=2, seed=5)
+    b = pipe.generate("a dog", height=32, width=32, num_inference_steps=2, seed=5)
+    assert not np.array_equal(a.images, b.images)
+
+
+def test_guidance_changes_output(pipe):
+    a = pipe.generate("a cat", height=32, width=32, num_inference_steps=2,
+                      seed=5, guidance_scale=1.0)
+    b = pipe.generate("a cat", height=32, width=32, num_inference_steps=2,
+                      seed=5, guidance_scale=8.0)
+    assert not np.array_equal(a.images, b.images)
+
+
+def test_batched_generation(pipe):
+    res = pipe.generate(["a cat", "a dog"], height=32, width=32,
+                        num_inference_steps=2, seed=9)
+    assert res.images.shape == (2, 32, 32, 3)
+    # batch entries differ (different prompts)
+    assert not np.array_equal(res.images[0], res.images[1])
+
+
+def test_batch_replication(pipe):
+    res = pipe.generate("a cat", batch=2, height=32, width=32,
+                        num_inference_steps=2, seed=9)
+    assert res.images.shape == (2, 32, 32, 3)
+
+
+def test_invalid_size_rejected(pipe):
+    with pytest.raises(ValueError):
+        pipe.generate("a cat", height=30, width=32)
+
+
+def test_explicit_latents_reproduce(pipe):
+    h = w = 32
+    res1 = pipe.generate("a cat", height=h, width=w, num_inference_steps=2, seed=4)
+    rs = np.random.RandomState(4)
+    s = pipe.vae_scale
+    lat = rs.randn(1, 4, h // s, w // s).astype(np.float32).transpose(0, 2, 3, 1)
+    res2 = pipe.generate("a cat", height=h, width=w, num_inference_steps=2,
+                         seed=4, latents=lat)
+    np.testing.assert_array_equal(res1.images, res2.images)
+
+
+def test_compile_cache_reuse(pipe):
+    pipe.generate("x", height=32, width=32, num_inference_steps=2, seed=0)
+    n = len(pipe._compiled)
+    pipe.generate("y", height=32, width=32, num_inference_steps=2, seed=1)
+    assert len(pipe._compiled) == n  # same bucket, no retrace
+    pipe.generate("y", height=32, width=48, num_inference_steps=2, seed=1)
+    assert len(pipe._compiled) == n + 1
