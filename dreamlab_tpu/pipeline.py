@@ -74,16 +74,38 @@ class LCMPipeline:
         dtype=jnp.bfloat16,
         attention_impl: str = "auto",
         device=None,
+        mesh=None,
+        tensor_parallel: bool = False,
     ):
         self.bundle = bundle
         self.arch = bundle.arch
         self.dtype = dtype
         self.attention_impl = attention_impl
+        self.mesh = mesh
         self.device = device or jax.devices()[0]
 
-        put = lambda tree: jax.device_put(cast_tree(tree, dtype), self.device)
+        if mesh is not None:
+            from .parallel.sharding import (
+                replicated,
+                unet_tp_shardings,
+                shard_params,
+            )
+
+            rep = replicated(mesh)
+            put = lambda tree: jax.device_put(cast_tree(tree, dtype), rep)
+            unet_put = (
+                (lambda tree: shard_params(
+                    cast_tree(tree, dtype),
+                    unet_tp_shardings(bundle.unet_params, mesh),
+                ))
+                if tensor_parallel
+                else put
+            )
+        else:
+            put = lambda tree: jax.device_put(cast_tree(tree, dtype), self.device)
+            unet_put = put
         self.text_params = put(bundle.text_params)
-        self.unet_params = put(bundle.unet_params)
+        self.unet_params = unet_put(bundle.unet_params)
         self.vae_params = put(bundle.vae_params)
         self.text_params_2 = (
             put(bundle.text_params_2) if bundle.text_params_2 else None
@@ -310,12 +332,25 @@ class LCMPipeline:
         )
         t_prep = time.time()
 
+        lat0 = jnp.asarray(lat0)
+        noises = jnp.asarray(noises)
+        if self.mesh is not None:
+            from .parallel.sharding import data_sharding, replicated
+
+            ds = lambda x, axis=0: jax.device_put(
+                x, data_sharding(self.mesh, np.ndim(x), axis)
+            )
+            ids, ids_neg, ids_2, ids_2_neg = map(ds, (ids, ids_neg, ids_2, ids_2_neg))
+            lat0, w_emb, time_ids = map(ds, (lat0, w_emb, time_ids))
+            noises = ds(noises, 1)
+            schedule = jax.device_put(schedule, replicated(self.mesh))
+
         fn = self._get_compiled(bsz, h_lat, w_lat, num_inference_steps, cfg_mode)
         img_u8, denoised = fn(
             self.text_params, self.text_params_2, self.unet_params,
             self.vae_params,
             ids, ids_neg, ids_2, ids_2_neg,
-            jnp.asarray(lat0), jnp.asarray(noises), schedule, w_emb,
+            lat0, noises, schedule, w_emb,
             jnp.float32(guidance_scale), time_ids,
         )
         images = np.asarray(jax.block_until_ready(img_u8))
