@@ -1,0 +1,168 @@
+"""TPU pipeline worker — the ``tpu_worker`` beside the reference's
+cuda_worker/rknn_worker (BASELINE.json north star).
+
+One worker owns one loaded ``LCMPipeline`` (one checkpoint on one device /
+mesh) and implements the ``PipelineWorker`` protocol:
+``run_job(spec) -> (png, seed)`` and ``run_job_with_latents`` returning the
+[1, 4, 8, 8] float16 fingerprint (512 bytes) the latent-exploration UI
+expects (reference rknn_worker.py:161-248, cuda_worker.py:241-304).
+
+Style LoRAs apply *exclusively* per request (reference
+cuda_worker.py:165-196) by merging into the base UNet pytree on device —
+identical tree shapes, so no recompile; un-styling restores the base tree.
+"""
+
+from __future__ import annotations
+
+import io
+import logging
+import threading
+import time
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..lora import StyleDef, load_lora, merge_lora_into_tree, parse_style_request
+from ..pipeline import LCMPipeline
+from .base import GenSpec
+
+logger = logging.getLogger(__name__)
+
+
+def png_encode(arr: np.ndarray, metadata: Optional[Dict[str, str]] = None) -> bytes:
+    """[H, W, 3] uint8 → PNG bytes, with optional tEXt generation metadata
+    (the parameter-resume contract the UI reads — reference
+    lcm-sr-ui/src/lib/pngMeta.js)."""
+    from PIL import Image
+    from PIL.PngImagePlugin import PngInfo
+
+    img = Image.fromarray(arr)
+    pnginfo = None
+    if metadata:
+        pnginfo = PngInfo()
+        for k, v in metadata.items():
+            pnginfo.add_text(k, v)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG", pnginfo=pnginfo)
+    return buf.getvalue()
+
+
+def latents_to_fingerprint(latents_nhwc: np.ndarray) -> bytes:
+    """Final denoised latents [1, h, w, 4] → [1, 4, 8, 8] f16 bytes via
+    block-mean downsampling (reference rknn_worker.py:223-248)."""
+    x = latents_nhwc[0]  # [h, w, 4]
+    h, w, _ = x.shape
+    bh, bw = max(h // 8, 1), max(w // 8, 1)
+    th, tw = 8 * bh, 8 * bw
+    x = x[:th, :tw]
+    x = x.reshape(8, bh, 8, bw, 4).mean(axis=(1, 3))  # [8, 8, 4]
+    nchw = x.transpose(2, 0, 1)[None].astype(np.float16)
+    return nchw.tobytes()
+
+
+class TPUPipelineWorker:
+    """A single-checkpoint serving worker on one TPU device/mesh."""
+
+    def __init__(
+        self,
+        pipeline: LCMPipeline,
+        worker_id: int = 0,
+        *,
+        styles: Optional[Dict[str, StyleDef]] = None,
+        default_size: Tuple[int, int] = (512, 512),
+        warmup: bool = False,
+    ):
+        self.pipeline = pipeline
+        self.worker_id = worker_id
+        self.styles = dict(styles or {})
+        self._style_cache: Dict[str, object] = {}  # path -> LoRATensors
+        self._base_unet_params = pipeline.unet_params
+        self._active: Tuple[Optional[str], int] = (None, 0)
+        self._lock = threading.Lock()
+        if warmup:
+            w, h = default_size
+            pipeline.warmup(h, w)
+
+    # ------------------------------------------------------------------
+    def _apply_style(self, style: Optional[str], level: int):
+        """Exclusive style application; (None, 0) restores base weights."""
+        style, level = parse_style_request(style, level)
+        if (style, level) == self._active:
+            return
+        if style is None:
+            self.pipeline.unet_params = self._base_unet_params
+            self._active = (None, 0)
+            return
+        sdef = self.styles.get(style)
+        if sdef is None:
+            raise ValueError(f"unknown style {style!r}")
+        cad = self.pipeline.bundle.unet_cfg.cross_attention_dim
+        if (
+            sdef.required_cross_attention_dim is not None
+            and sdef.required_cross_attention_dim != cad
+        ):
+            raise ValueError(
+                f"style {style!r} requires cross_attention_dim="
+                f"{sdef.required_cross_attention_dim}, model has {cad}"
+            )
+        if sdef.path not in self._style_cache:
+            self._style_cache[sdef.path] = load_lora(sdef.path)
+        tensors = self._style_cache[sdef.path]
+        scale = sdef.strength_for_level(level)
+        t0 = time.time()
+        self.pipeline.unet_params = merge_lora_into_tree(
+            self._base_unet_params, tensors.unet, scale
+        )
+        self._active = (style, level)
+        logger.info(
+            "style %s level %d (scale %.2f) merged in %.0f ms",
+            style, level, scale, 1e3 * (time.time() - t0),
+        )
+
+    # ------------------------------------------------------------------
+    def _generate(self, spec: GenSpec):
+        width, height = spec.dims()
+        seed = spec.seed
+        if seed is None:
+            seed = int(np.random.randint(0, 2**31 - 1))
+        with self._lock:
+            self._apply_style(spec.style, spec.style_level)
+            try:
+                res = self.pipeline.generate(
+                    spec.prompt,
+                    height=height,
+                    width=width,
+                    num_inference_steps=spec.num_inference_steps,
+                    original_inference_steps=spec.original_inference_steps,
+                    guidance_scale=spec.guidance_scale,
+                    negative_prompt=spec.negative_prompt,
+                    seed=seed,
+                )
+            finally:
+                self._apply_style(None, 0)
+        return res
+
+    def run_job(self, spec: GenSpec) -> Tuple[bytes, int]:
+        res = self._generate(spec)
+        png = png_encode(
+            res.images[0],
+            metadata={
+                "parameters": (
+                    f"{spec.prompt}\nSteps: {spec.num_inference_steps}, "
+                    f"CFG scale: {spec.guidance_scale}, Seed: {res.seed}, "
+                    f"Size: {spec.size}"
+                )
+            },
+        )
+        return png, res.seed
+
+    def run_job_with_latents(self, spec: GenSpec) -> Tuple[bytes, int, bytes]:
+        res = self._generate(spec)
+        png = png_encode(res.images[0])
+        return png, res.seed, latents_to_fingerprint(res.latents)
+
+    # ------------------------------------------------------------------
+    def close(self):
+        self.pipeline = None
+        self._base_unet_params = None
+        self._style_cache.clear()

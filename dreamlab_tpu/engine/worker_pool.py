@@ -1,0 +1,274 @@
+"""Mode-system worker pool: FIFO job queue + hot-swappable single worker.
+
+Behavioral port of /root/reference/backends/worker_pool.py:135-485 — the
+same job taxonomy (generation / mode-switch / custom), FIFO ordering
+guarantee ("in-flight jobs finish before a switch applies"), bounded-queue
+backpressure, registry accounting, DI hooks for tests, and singleton
+accessors — with two deliberate changes (SURVEY.md §7.3):
+
+- the chosen model travels to the factory as a *parameter*, not via
+  mutated environment variables;
+- job specs are typed (GenSpec), not the request object.
+
+On TPU the worker swap is cheap by design: loading a same-architecture
+checkpoint reuses every compiled executable (weights are jit inputs).
+"""
+
+from __future__ import annotations
+
+import abc
+import enum
+import logging
+import queue
+import threading
+import time
+import uuid
+from concurrent.futures import Future
+from typing import Any, Callable, Dict, Optional
+
+logger = logging.getLogger(__name__)
+
+
+class JobType(enum.Enum):
+    GENERATION = "generation"
+    MODE_SWITCH = "mode_switch"
+    CUSTOM = "custom"
+
+
+class Job(abc.ABC):
+    """A unit of work; completion is reported through ``future``."""
+
+    job_type: JobType
+
+    def __init__(self):
+        self.job_id = uuid.uuid4().hex[:12]
+        self.future: Future = Future()
+        self.submitted_at = time.time()
+
+    @abc.abstractmethod
+    def execute(self, worker) -> Any:
+        ...
+
+
+class GenerationJob(Job):
+    job_type = JobType.GENERATION
+
+    def __init__(self, spec, *, with_latents: bool = False):
+        super().__init__()
+        self.spec = spec
+        self.with_latents = with_latents
+
+    def execute(self, worker):
+        if self.with_latents:
+            return worker.run_job_with_latents(self.spec)
+        return worker.run_job(self.spec)
+
+
+class ModeSwitchJob(Job):
+    job_type = JobType.MODE_SWITCH
+
+    def __init__(self, target_mode: str, on_complete: Optional[Callable] = None):
+        super().__init__()
+        self.target_mode = target_mode
+        self.on_complete = on_complete
+
+    def execute(self, worker):
+        if self.on_complete:
+            self.on_complete(self.target_mode)
+        return self.target_mode
+
+
+class CustomJob(Job):
+    job_type = JobType.CUSTOM
+
+    def __init__(self, fn: Callable, *args, **kwargs):
+        super().__init__()
+        self.fn = fn
+        self.args = args
+        self.kwargs = kwargs
+
+    def execute(self, worker):
+        return self.fn(worker, *self.args, **self.kwargs)
+
+
+class QueueFullError(Exception):
+    """Maps to HTTP 429 at the serving layer."""
+
+
+class WorkerPool:
+    """Single hot-swappable worker consuming a bounded FIFO queue."""
+
+    def __init__(
+        self,
+        queue_max: int = 64,
+        *,
+        worker_factory: Optional[Callable[[int, str], Any]] = None,
+        mode_config=None,
+        registry=None,
+        load_default: bool = True,
+    ):
+        """worker_factory(worker_id, model_path) -> PipelineWorker.
+
+        All three collaborators are injectable for tests (the reference
+        documents the same seam, worker_pool.py:165-168).
+        """
+        from .mode_config import get_mode_config
+        from .model_registry import get_model_registry
+
+        self.queue: "queue.Queue[Optional[Job]]" = queue.Queue(maxsize=queue_max)
+        self.mode_config = mode_config or get_mode_config()
+        self.registry = registry or get_model_registry()
+        self._factory = worker_factory or self._default_factory
+        self.worker = None
+        self.current_mode: Optional[str] = None
+        self._shutdown = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._state_lock = threading.Lock()
+
+        if load_default:
+            self._load_mode(self.mode_config.default_mode)
+        self._start_worker_thread()
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _default_factory(worker_id: int, model_path: str):
+        from .worker_factory import create_tpu_worker
+
+        return create_tpu_worker(worker_id, model_path)
+
+    def _load_mode(self, mode_name: str):
+        mode = self.mode_config.get_mode(mode_name)
+        self._unload_current_worker()
+        used_before = self.registry.get_used_hbm()
+        t0 = time.time()
+        worker = self._factory(0, mode.model)
+        hbm = max(self.registry.get_used_hbm() - used_before, 0)
+        if hbm == 0:
+            hbm = self.registry.estimate_model_hbm(mode.model)
+        self.registry.register_model(
+            name=mode_name,
+            model_path=mode.model,
+            worker_id=0,
+            hbm_bytes=hbm,
+            loras=[l.display_name for l in mode.loras],
+        )
+        with self._state_lock:
+            self.worker = worker
+            self.current_mode = mode_name
+        logger.info("mode %s loaded in %.1fs", mode_name, time.time() - t0)
+
+    def _unload_current_worker(self):
+        with self._state_lock:
+            worker, mode = self.worker, self.current_mode
+            self.worker = None
+            self.current_mode = None
+        if worker is None:
+            return
+        if mode:
+            self.registry.unregister_model(mode)
+        close = getattr(worker, "close", None)
+        if close:
+            close()
+        import gc
+
+        gc.collect()
+        logger.info("mode %s unloaded", mode)
+
+    # ------------------------------------------------------------------
+    def _start_worker_thread(self):
+        self._thread = threading.Thread(
+            target=self._worker_loop, name="worker-pool", daemon=True
+        )
+        self._thread.start()
+
+    def _worker_loop(self):
+        while not self._shutdown.is_set():
+            try:
+                job = self.queue.get(timeout=0.25)
+            except queue.Empty:
+                continue
+            if job is None:
+                self.queue.task_done()
+                break
+            try:
+                if job.job_type is JobType.MODE_SWITCH:
+                    if job.target_mode == self.current_mode:
+                        logger.info("already in mode %s", job.target_mode)
+                        result = job.execute(self.worker)
+                    else:
+                        result = job.execute(self.worker)
+                        self._load_mode(job.target_mode)
+                else:
+                    result = job.execute(self.worker)
+                job.future.set_result(result)
+            except Exception as e:  # fail only this job
+                logger.exception("job %s failed", job.job_id)
+                job.future.set_exception(e)
+            finally:
+                self.queue.task_done()
+
+    # ------------------------------------------------------------------
+    def submit_job(self, job: Job) -> Future:
+        if self._shutdown.is_set():
+            raise RuntimeError("pool is shut down")
+        try:
+            self.queue.put_nowait(job)
+        except queue.Full:
+            raise QueueFullError(
+                f"queue full ({self.queue.maxsize} jobs)"
+            ) from None
+        return job.future
+
+    def switch_mode(
+        self, mode_name: str, on_complete: Optional[Callable] = None
+    ) -> Future:
+        if not self.mode_config.has_mode(mode_name):
+            raise KeyError(f"unknown mode {mode_name!r}")
+        return self.submit_job(ModeSwitchJob(mode_name, on_complete))
+
+    def get_status(self) -> Dict:
+        return {
+            "current_mode": self.current_mode,
+            "queue_depth": self.queue.qsize(),
+            "queue_max": self.queue.maxsize,
+            "worker_loaded": self.worker is not None,
+            "shutdown": self._shutdown.is_set(),
+        }
+
+    def shutdown(self, *, drain: bool = True, timeout: float = 30.0):
+        """Graceful drain then stop (reference worker_pool.py:396-418)."""
+        if drain:
+            deadline = time.time() + timeout
+            while not self.queue.empty() and time.time() < deadline:
+                time.sleep(0.05)
+        self._shutdown.set()
+        try:
+            self.queue.put_nowait(None)
+        except queue.Full:
+            pass
+        if self._thread:
+            self._thread.join(timeout=5.0)
+        self._unload_current_worker()
+
+
+_pool: Optional[WorkerPool] = None
+_pool_lock = threading.Lock()
+
+
+def get_worker_pool(**kwargs) -> WorkerPool:
+    global _pool
+    with _pool_lock:
+        if _pool is None:
+            _pool = WorkerPool(**kwargs)
+        return _pool
+
+
+def reset_worker_pool():
+    global _pool
+    with _pool_lock:
+        if _pool is not None:
+            try:
+                _pool.shutdown(drain=False, timeout=0.5)
+            except Exception:
+                logger.exception("pool shutdown during reset failed")
+            _pool = None

@@ -1,0 +1,199 @@
+"""Extensible model detection: what is this checkpoint, and how do we serve it?
+
+Design port of the reference's interceptor-stack detector
+(/root/reference/utils/model_detector.py): a chain of small detectors each
+augments a ``ModelInfo``; classification keys off tensor *shapes* (the
+``attn2.to_k`` input width = cross_attention_dim), never off filenames.
+Safetensors headers are read without loading tensor data.
+
+Variants (reference model_detector.py:391-451):
+  cross_attention_dim 768 → SD15, 1024 → SD21, 2048 → SDXL.
+Worker resolution (reference worker_factory.py:17-70): SD15/SD21-class and
+SDXL-class both map to the TPU worker here, with arch + size policy attached.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Callable, Dict, List, Optional
+
+
+class DetectionError(Exception):
+    pass
+
+
+@dataclasses.dataclass
+class ModelInfo:
+    path: str
+    format: Optional[str] = None  # diffusers_dir | safetensors | lora | unknown
+    is_lora: bool = False
+    cross_attention_dim: Optional[int] = None
+    variant: Optional[str] = None  # SD15 | SD21 | SDXL
+    arch: Optional[str] = None  # sd15 | sdxl (serving class)
+    native_size: Optional[int] = None
+    downsample: int = 8
+    recommended_sizes: List[str] = dataclasses.field(default_factory=list)
+    worker: Optional[str] = None
+    extra: Dict = dataclasses.field(default_factory=dict)
+
+
+Detector = Callable[[ModelInfo], Optional[ModelInfo]]
+
+
+# ---------------------------------------------------------------------------
+# detectors
+# ---------------------------------------------------------------------------
+
+
+def _safetensors_shapes(path: str) -> Dict[str, List[int]]:
+    """Read tensor shapes from the safetensors header only."""
+    import safetensors
+
+    shapes = {}
+    with safetensors.safe_open(path, framework="numpy") as f:
+        for k in f.keys():
+            shapes[k] = list(f.get_slice(k).get_shape())
+    return shapes
+
+
+def diffusers_dir_detector(info: ModelInfo) -> Optional[ModelInfo]:
+    """Recognize a diffusers-layout directory via unet/config.json
+    (reference DiffusersDetector, model_detector.py:287-333)."""
+    if not os.path.isdir(info.path):
+        return None
+    unet_cfg = os.path.join(info.path, "unet", "config.json")
+    if not os.path.exists(unet_cfg):
+        return None
+    with open(unet_cfg) as f:
+        cfg = json.load(f)
+    info.format = "diffusers_dir"
+    info.cross_attention_dim = cfg.get("cross_attention_dim")
+    info.extra["unet_config"] = cfg
+    idx = os.path.join(info.path, "model_index.json")
+    if os.path.exists(idx):
+        with open(idx) as f:
+            info.extra["pipeline_class"] = json.load(f).get("_class_name")
+    return info
+
+
+def safetensors_detector(info: ModelInfo) -> Optional[ModelInfo]:
+    """Single-file safetensors: classify LoRA vs checkpoint and read the
+    cross-attention width from tensor shapes (reference
+    SafetensorsDetector, model_detector.py:219-252)."""
+    if not (os.path.isfile(info.path) and info.path.endswith(".safetensors")):
+        return None
+    shapes = _safetensors_shapes(info.path)
+    info.format = "safetensors"
+
+    if any(".lora_down." in k or ".lora_A." in k or k.startswith("lora_") for k in shapes):
+        info.is_lora = True
+        info.format = "lora"
+        # LoRA compat: to_k adapters' input width is the cross-attn dim
+        for k, s in shapes.items():
+            if ("attn2" in k and ("to_k" in k) and ("lora_down" in k or "lora_A" in k)):
+                info.cross_attention_dim = s[1]
+                break
+        return info
+
+    # original "ldm" layout or diffusers-layout single file
+    for k, s in shapes.items():
+        if k.endswith("attn2.to_k.weight") and len(s) == 2:
+            info.cross_attention_dim = s[1]
+            break
+    return info
+
+
+def variant_classifier(info: ModelInfo) -> Optional[ModelInfo]:
+    """(reference VariantClassifier, model_detector.py:391-451)."""
+    cad = info.cross_attention_dim
+    if cad is None:
+        return info
+    info.variant = {768: "SD15", 1024: "SD21", 2048: "SDXL", 1280: "SDXL"}.get(cad)
+    return info
+
+
+def resolution_detector(info: ModelInfo) -> Optional[ModelInfo]:
+    """Size policy per variant (reference ResolutionDetector,
+    model_detector.py:563-693)."""
+    native = {"SD15": 512, "SD21": 768, "SDXL": 1024}.get(info.variant or "")
+    if native is None:
+        return info
+    info.native_size = native
+    info.downsample = 8
+    ladder = {
+        "SD15": ["384x384", "512x512", "512x768", "768x512", "768x768"],
+        "SD21": ["512x512", "768x768"],
+        "SDXL": ["768x768", "1024x1024", "896x1152", "1152x896"],
+    }[info.variant]
+    info.recommended_sizes = ladder
+    return info
+
+
+def compatibility_resolver(info: ModelInfo) -> Optional[ModelInfo]:
+    """Variant → serving worker class (reference CompatibilityResolver,
+    model_detector.py:454-558; here every supported variant serves through
+    the TPU worker with an arch tag)."""
+    if info.is_lora:
+        return info
+    if info.variant in ("SD15", "SD21"):
+        info.arch = "sd15"
+        info.worker = "dreamlab_tpu.engine.tpu_worker.TPUPipelineWorker"
+    elif info.variant == "SDXL":
+        info.arch = "sdxl"
+        info.worker = "dreamlab_tpu.engine.tpu_worker.TPUPipelineWorker"
+    return info
+
+
+DEFAULT_STACK: List[Detector] = [
+    diffusers_dir_detector,
+    safetensors_detector,
+    variant_classifier,
+    resolution_detector,
+    compatibility_resolver,
+]
+
+
+class ModelDetector:
+    """Run an (extensible) detector stack over a path."""
+
+    def __init__(self, stack: Optional[List[Detector]] = None):
+        self.stack = list(stack or DEFAULT_STACK)
+
+    def add_detector(self, det: Detector, *, index: Optional[int] = None):
+        if index is None:
+            self.stack.append(det)
+        else:
+            self.stack.insert(index, det)
+
+    def detect(self, path: str) -> ModelInfo:
+        if not os.path.exists(path):
+            raise DetectionError(f"path does not exist: {path}")
+        info = ModelInfo(path=path)
+        for det in self.stack:
+            out = det(info)
+            if out is not None:
+                info = out
+        if info.format is None:
+            info.format = "unknown"
+        return info
+
+
+def detect_model(path: str) -> ModelInfo:
+    return ModelDetector().detect(path)
+
+
+def main(argv=None):  # pragma: no cover - CLI convenience
+    import argparse
+
+    p = argparse.ArgumentParser(description="classify a model checkpoint")
+    p.add_argument("paths", nargs="+")
+    args = p.parse_args(argv)
+    for path in args.paths:
+        info = detect_model(path)
+        print(json.dumps(dataclasses.asdict(info), indent=2, default=str))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -1,0 +1,332 @@
+"""Engine layer: worker pool FIFO + mode switching with injected fakes,
+HBM registry accounting, factory detection, mode config parsing, file
+watcher — mirroring the reference's unit-test strategy (fake worker + DI,
+reference tests/test_worker_pool.py, test_model_registry.py,
+test_worker_factory.py)."""
+
+import json
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+import yaml
+
+from dreamlab_tpu.engine.base import GenSpec, ModelPaths, parse_size
+from dreamlab_tpu.engine.mode_config import (
+    ModeConfigError,
+    ModeConfigManager,
+)
+from dreamlab_tpu.engine.model_registry import ModelRegistry
+from dreamlab_tpu.engine.worker_pool import (
+    CustomJob,
+    GenerationJob,
+    QueueFullError,
+    WorkerPool,
+)
+from dreamlab_tpu.engine.file_watcher import ConfigFileWatcher
+
+
+# ---------------------------------------------------------------------------
+# fakes (the reference's deterministic fake-worker pattern, conftest.py:124-160)
+# ---------------------------------------------------------------------------
+
+
+class FakeWorker:
+    def __init__(self, worker_id, model_path):
+        self.worker_id = worker_id
+        self.model_path = model_path
+        self.closed = False
+        self.jobs = []
+
+    def run_job(self, spec):
+        self.jobs.append(spec)
+        rs = np.random.RandomState(spec.seed or 0)
+        return rs.bytes(64), spec.seed or 0
+
+    def run_job_with_latents(self, spec):
+        png, seed = self.run_job(spec)
+        return png, seed, b"\x00" * 512
+
+    def close(self):
+        self.closed = True
+
+
+def write_modes_yaml(path, modes=("alpha", "beta"), default=None):
+    cfg = {
+        "model_root": "/nonexistent",
+        "default_mode": default or modes[0],
+        "modes": {
+            name: {"model": f"{name}.safetensors", "defaults": {"steps": 4}}
+            for name in modes
+        },
+    }
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return path
+
+
+@pytest.fixture
+def pool(tmp_path):
+    cfg = ModeConfigManager(write_modes_yaml(tmp_path / "modes.yaml"))
+    registry = ModelRegistry(total_hbm_bytes=16 << 30)
+    created = []
+
+    def factory(worker_id, model_path):
+        w = FakeWorker(worker_id, model_path)
+        created.append(w)
+        return w
+
+    p = WorkerPool(
+        queue_max=4, worker_factory=factory, mode_config=cfg, registry=registry
+    )
+    p._created = created
+    yield p
+    p.shutdown(drain=False, timeout=1.0)
+
+
+# ---------------------------------------------------------------------------
+# worker pool
+# ---------------------------------------------------------------------------
+
+
+def test_default_mode_loaded(pool):
+    assert pool.current_mode == "alpha"
+    assert pool.worker is not None
+    assert pool.registry.get_model("alpha") is not None
+
+
+def test_generation_job_roundtrip(pool):
+    fut = pool.submit_job(GenerationJob(GenSpec(prompt="hi", seed=3)))
+    png, seed = fut.result(timeout=5)
+    assert seed == 3 and isinstance(png, bytes)
+
+
+def test_fifo_ordering(pool):
+    order = []
+
+    def slow(worker, tag):
+        time.sleep(0.05)
+        order.append(tag)
+        return tag
+
+    futs = [pool.submit_job(CustomJob(slow, t)) for t in ("a", "b", "c")]
+    for f in futs:
+        f.result(timeout=5)
+    assert order == ["a", "b", "c"]
+
+
+def test_mode_switch_recreates_worker(pool):
+    first = pool.worker
+    fut = pool.switch_mode("beta")
+    fut.result(timeout=5)
+    # worker loop processes the load; give it a beat
+    deadline = time.time() + 2
+    while pool.current_mode != "beta" and time.time() < deadline:
+        time.sleep(0.01)
+    assert pool.current_mode == "beta"
+    assert pool.worker is not first
+    assert first.closed
+    assert pool.registry.get_model("alpha") is None
+    assert pool.registry.get_model("beta") is not None
+
+
+def test_same_mode_switch_noop(pool):
+    first = pool.worker
+    pool.switch_mode("alpha").result(timeout=5)
+    assert pool.worker is first
+
+
+def test_switch_waits_for_inflight_jobs(pool):
+    seen = []
+
+    def slow(worker, tag):
+        time.sleep(0.1)
+        seen.append((tag, worker.model_path))
+        return tag
+
+    pool.submit_job(CustomJob(slow, "before"))
+    pool.switch_mode("beta")
+    fut = pool.submit_job(CustomJob(slow, "after"))
+    fut.result(timeout=5)
+    assert seen[0][0] == "before" and seen[0][1].endswith("alpha.safetensors")
+    assert seen[1][0] == "after" and seen[1][1].endswith("beta.safetensors")
+
+
+def test_unknown_mode_rejected(pool):
+    with pytest.raises(KeyError):
+        pool.switch_mode("nope")
+
+
+def test_queue_full_backpressure(pool):
+    block = threading.Event()
+    started = threading.Event()
+
+    def waiter(worker):
+        started.set()
+        block.wait(5)
+        return True
+
+    pool.submit_job(CustomJob(waiter))  # occupies the worker
+    assert started.wait(5)  # ensure it left the queue
+    for _ in range(4):
+        pool.submit_job(CustomJob(lambda w: None))
+    with pytest.raises(QueueFullError):
+        pool.submit_job(CustomJob(lambda w: None))
+    block.set()
+
+
+def test_job_failure_only_fails_that_future(pool):
+    def boom(worker):
+        raise RuntimeError("kaboom")
+
+    bad = pool.submit_job(CustomJob(boom))
+    good = pool.submit_job(CustomJob(lambda w: "ok"))
+    with pytest.raises(RuntimeError):
+        bad.result(timeout=5)
+    assert good.result(timeout=5) == "ok"
+
+
+def test_shutdown_drains(pool):
+    results = []
+    pool.submit_job(CustomJob(lambda w: results.append(1)))
+    pool.shutdown(drain=True, timeout=5)
+    assert results == [1]
+    with pytest.raises(RuntimeError):
+        pool.submit_job(CustomJob(lambda w: None))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def test_registry_accounting():
+    reg = ModelRegistry(total_hbm_bytes=10_000)
+    reg.register_model("m1", "/p1", 0, 4_000)
+    assert reg.get_used_hbm() >= 0  # real stats may shadow registered sum
+    assert reg.get_model("m1").hbm_bytes == 4_000
+    reg.register_model("m1", "/p1b", 0, 5_000)  # overwrite warns, keeps latest
+    assert reg.get_model("m1").model_path == "/p1b"
+    assert reg.unregister_model("m1")
+    assert not reg.unregister_model("m1")
+
+
+def test_registry_can_fit_headroom():
+    reg = ModelRegistry(total_hbm_bytes=10_000, headroom=0.9)
+    # without live device stats the used sum comes from entries
+    if reg.get_used_hbm() == 0:
+        reg.register_model("a", "/a", 0, 5_000)
+        assert reg.can_fit(3_000)
+        assert not reg.can_fit(5_000)
+
+
+def test_registry_estimate_from_files(tmp_path):
+    p = tmp_path / "model"
+    (p / "unet").mkdir(parents=True)
+    (p / "unet" / "w.safetensors").write_bytes(b"x" * 1000)
+    est = ModelRegistry.estimate_model_hbm(str(p))
+    assert est == int(1000 * 1.2 * 0.5)
+
+
+def test_registry_stats_schema():
+    reg = ModelRegistry(total_hbm_bytes=16 << 30)
+    reg.register_model("m", "/m", 0, 2 << 30, loras=["detail"])
+    s = reg.get_hbm_stats()
+    for key in ("device", "total_gb", "used_gb", "available_gb",
+                "used_percent", "models"):
+        assert key in s
+    assert s["models"][0]["loras"] == ["detail"]
+
+
+# ---------------------------------------------------------------------------
+# mode config
+# ---------------------------------------------------------------------------
+
+
+def test_mode_config_parsing(tmp_path):
+    path = tmp_path / "modes.yaml"
+    with open(path, "w") as f:
+        yaml.safe_dump({
+            "model_root": "/mr",
+            "lora_root": "/lr",
+            "default_mode": "x",
+            "modes": {
+                "x": {
+                    "model": "ckpt",
+                    "description": "d",
+                    "loras": [{"file": "l.safetensors", "strength": 0.7}],
+                    "defaults": {"size": "512x512", "steps": 4, "guidance": 1.0},
+                },
+                "y": {"model": "/abs/path"},
+            },
+        }, f)
+    m = ModeConfigManager(str(path))
+    assert m.default_mode == "x"
+    x = m.get_mode("x")
+    assert x.model == "/mr/ckpt"
+    assert x.loras[0].file == "/lr/l.safetensors"
+    assert x.loras[0].strength == 0.7
+    assert x.default_steps() == 4
+    assert m.get_mode("y").model == "/abs/path"
+    assert set(m.mode_names()) == {"x", "y"}
+    d = m.to_dict()
+    assert d["modes"]["x"]["loras"][0]["name"] == "l"
+
+
+def test_mode_config_errors(tmp_path):
+    with pytest.raises(ModeConfigError):
+        ModeConfigManager(str(tmp_path / "missing.yaml"))
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("modes: {}\n")
+    with pytest.raises(ModeConfigError):
+        ModeConfigManager(str(bad))
+    nodefault = tmp_path / "nd.yaml"
+    nodefault.write_text("default_mode: zz\nmodes:\n  a:\n    model: m\n")
+    with pytest.raises(ModeConfigError):
+        ModeConfigManager(str(nodefault))
+
+
+def test_mode_config_reload(tmp_path):
+    path = write_modes_yaml(tmp_path / "modes.yaml", modes=("a",))
+    m = ModeConfigManager(str(path))
+    write_modes_yaml(tmp_path / "modes.yaml", modes=("a", "b"))
+    m.reload()
+    assert m.has_mode("b")
+
+
+# ---------------------------------------------------------------------------
+# misc engine pieces
+# ---------------------------------------------------------------------------
+
+
+def test_parse_size():
+    assert parse_size("512x512") == (512, 512)
+    assert parse_size("384X768") == (384, 768)
+    with pytest.raises(ValueError):
+        parse_size("512by512")
+
+
+def test_model_paths_contract(tmp_path):
+    for d in ("scheduler", "tokenizer", "text_encoder", "unet", "vae_decoder"):
+        (tmp_path / d).mkdir()
+    mp = ModelPaths(str(tmp_path))
+    assert mp.validate()
+    assert mp.vae_dir.endswith("vae_decoder")
+    (tmp_path / "vae").mkdir()
+    assert mp.vae_dir.endswith("vae")
+
+
+def test_file_watcher_detects_change(tmp_path):
+    path = tmp_path / "modes.yaml"
+    path.write_text("a: 1\n")
+    fired = threading.Event()
+    w = ConfigFileWatcher(str(path), fired.set, poll_interval=0.05, debounce=0.0)
+    w.start()
+    try:
+        time.sleep(0.1)
+        os.utime(path, (time.time() + 5, time.time() + 5))
+        assert fired.wait(2.0)
+    finally:
+        w.stop()

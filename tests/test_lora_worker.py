@@ -1,0 +1,207 @@
+"""LoRA parsing/merging, model detection, and the TPU worker protocol."""
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dreamlab_tpu import lora as lora_mod
+from dreamlab_tpu.engine.base import GenSpec
+from dreamlab_tpu.engine.tpu_worker import (
+    TPUPipelineWorker,
+    latents_to_fingerprint,
+    png_encode,
+)
+from dreamlab_tpu.models import configs, unet
+from dreamlab_tpu.pipeline import LCMPipeline
+from dreamlab_tpu.testing import random_bundle
+from dreamlab_tpu.utils.model_detector import detect_model, DetectionError
+from tests.test_loader import make_tiny_checkpoint
+
+
+# ---------------------------------------------------------------------------
+# lora
+# ---------------------------------------------------------------------------
+
+
+def _make_lora_sd(fmt, c=32, ctx=32, rank=4):
+    rs = np.random.RandomState(0)
+    down = rs.randn(rank, c).astype(np.float32)
+    up = rs.randn(c, rank).astype(np.float32)
+    if fmt == "peft":
+        return {
+            "unet.down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q.lora_A.weight": down,
+            "unet.down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q.lora_B.weight": up,
+        }
+    return {
+        "lora_unet_down_blocks_0_attentions_0_transformer_blocks_0_attn1_to_q.lora_down.weight": down,
+        "lora_unet_down_blocks_0_attentions_0_transformer_blocks_0_attn1_to_q.lora_up.weight": up,
+        "lora_unet_down_blocks_0_attentions_0_transformer_blocks_0_attn1_to_q.alpha": np.array(rank, np.float32),
+    }
+
+
+@pytest.mark.parametrize("fmt", ["peft", "kohya"])
+def test_lora_parse_formats(fmt):
+    t = lora_mod.parse_lora_state_dict(_make_lora_sd(fmt))
+    assert t.num_modules == 1
+    path = next(iter(t.unet))
+    assert path == "down.0.attentions.0.blocks.0.attn1.q"
+
+
+def test_lora_merge_changes_only_target():
+    cfg = configs.TINY_UNET
+    params = unet.init_params(cfg, np.random.RandomState(0))
+    t = lora_mod.parse_lora_state_dict(_make_lora_sd("kohya"))
+    merged = lora_mod.merge_lora_into_tree(params, t.unet, scale=0.5)
+
+    target_old = params["down"][0]["attentions"][0]["blocks"][0]["attn1"]["q"]["w"]
+    target_new = merged["down"][0]["attentions"][0]["blocks"][0]["attn1"]["q"]["w"]
+    assert not np.allclose(np.asarray(target_new), np.asarray(target_old))
+    # delta = scale * (alpha/r) * (up@down).T
+    down, up, alpha = t.unet["down.0.attentions.0.blocks.0.attn1.q"]
+    want = np.asarray(target_old) + 0.5 * (alpha / 4) * (up @ down).T
+    np.testing.assert_allclose(np.asarray(target_new), want, rtol=1e-5, atol=1e-6)
+    # untouched leaf identical
+    np.testing.assert_array_equal(
+        np.asarray(merged["conv_in"]["w"]), np.asarray(params["conv_in"]["w"])
+    )
+
+
+def test_lora_merge_scale_zero_is_identity():
+    cfg = configs.TINY_UNET
+    params = unet.init_params(cfg, np.random.RandomState(0))
+    t = lora_mod.parse_lora_state_dict(_make_lora_sd("peft"))
+    merged = lora_mod.merge_lora_into_tree(params, t.unet, scale=0.0)
+    assert merged is params
+
+
+def test_lora_text_encoder_keys():
+    rs = np.random.RandomState(0)
+    sd = {
+        "lora_te_text_model_encoder_layers_0_self_attn_q_proj.lora_down.weight": rs.randn(2, 8).astype(np.float32),
+        "lora_te_text_model_encoder_layers_0_self_attn_q_proj.lora_up.weight": rs.randn(8, 2).astype(np.float32),
+    }
+    t = lora_mod.parse_lora_state_dict(sd)
+    assert list(t.text) == ["layers.0.attn.q"]
+
+
+def test_style_strength_ladder():
+    s = lora_mod.StyleDef(name="x", path="/x.safetensors")
+    assert s.strength_for_level(0) == 0.0
+    assert s.strength_for_level(1) == 0.4
+    assert s.strength_for_level(8) == 1.8
+    assert s.strength_for_level(99) == 1.8
+
+
+def test_parse_style_request():
+    assert lora_mod.parse_style_request(None, 3) == (None, 0)
+    assert lora_mod.parse_style_request("anime", 0) == (None, 0)
+    assert lora_mod.parse_style_request("anime", 3) == ("anime", 3)
+    assert lora_mod.parse_style_request("anime", "bad") == (None, 0)
+    assert lora_mod.parse_style_request("anime", 99) == ("anime", 8)
+
+
+# ---------------------------------------------------------------------------
+# detection
+# ---------------------------------------------------------------------------
+
+
+def test_detect_diffusers_dir(tmp_path):
+    d = make_tiny_checkpoint(tmp_path / "ckpt")
+    info = detect_model(d)
+    assert info.format == "diffusers_dir"
+    assert info.cross_attention_dim == 768
+    assert info.variant == "SD15"
+    assert info.arch == "sd15"
+    assert info.native_size == 512
+    assert "512x512" in info.recommended_sizes
+
+
+def test_detect_lora_file(tmp_path):
+    from safetensors.numpy import save_file
+
+    p = str(tmp_path / "style.safetensors")
+    save_file(_make_lora_sd("kohya"), p)
+    info = detect_model(p)
+    assert info.is_lora and info.format == "lora"
+
+
+def test_detect_single_file_checkpoint(tmp_path):
+    from safetensors.numpy import save_file
+
+    p = str(tmp_path / "ckpt.safetensors")
+    save_file({
+        "model.diffusion_model.input_blocks.4.1.transformer_blocks.0.attn2.to_k.weight":
+            np.zeros((64, 2048), np.float32),
+    }, p)
+    info = detect_model(p)
+    assert info.cross_attention_dim == 2048
+    assert info.variant == "SDXL"
+    assert info.arch == "sdxl"
+    assert info.native_size == 1024
+
+
+def test_detect_missing_path():
+    with pytest.raises(DetectionError):
+        detect_model("/no/such/path")
+
+
+# ---------------------------------------------------------------------------
+# tpu worker
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def worker():
+    bundle = random_bundle("sd15", tiny=True)
+    pipe = LCMPipeline(bundle, dtype=jnp.float32)
+    return TPUPipelineWorker(pipe, worker_id=0)
+
+
+def test_run_job_returns_png(worker):
+    png, seed = worker.run_job(GenSpec(prompt="a cat", size="32x32",
+                                       num_inference_steps=2, seed=5))
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    assert seed == 5
+    # embedded generation metadata (parameter-resume contract)
+    from PIL import Image
+    import io
+    img = Image.open(io.BytesIO(png))
+    assert "Seed: 5" in img.text["parameters"]
+
+
+def test_run_job_deterministic(worker):
+    spec = GenSpec(prompt="a cat", size="32x32", num_inference_steps=2, seed=42)
+    a, _ = worker.run_job(spec)
+    b, _ = worker.run_job(spec)
+    assert a == b
+
+
+def test_run_job_with_latents_512_bytes(worker):
+    png, seed, lat = worker.run_job_with_latents(
+        GenSpec(prompt="x", size="32x32", num_inference_steps=2, seed=1)
+    )
+    assert len(lat) == 512  # [1, 4, 8, 8] float16
+    arr = np.frombuffer(lat, np.float16).reshape(1, 4, 8, 8)
+    assert np.isfinite(arr).all()
+
+
+def test_random_seed_assigned(worker):
+    png, seed = worker.run_job(GenSpec(prompt="x", size="32x32",
+                                       num_inference_steps=1))
+    assert 0 <= seed < 2**31
+
+
+def test_unknown_style_rejected(worker):
+    with pytest.raises(ValueError):
+        worker.run_job(GenSpec(prompt="x", size="32x32", num_inference_steps=1,
+                               style="nope", style_level=3))
+
+
+def test_fingerprint_block_mean():
+    lat = np.arange(16 * 16 * 4, dtype=np.float32).reshape(1, 16, 16, 4)
+    out = np.frombuffer(latents_to_fingerprint(lat), np.float16).reshape(1, 4, 8, 8)
+    want = lat[0].reshape(8, 2, 8, 2, 4).mean(axis=(1, 3)).transpose(2, 0, 1)
+    np.testing.assert_allclose(out[0], want.astype(np.float16))
