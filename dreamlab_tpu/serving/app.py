@@ -1,0 +1,548 @@
+"""REST server (aiohttp): the reference's public API surface, TPU execution.
+
+Route-for-route port of /root/reference/server/lcm_sr_server.py's contracts
+(SURVEY.md Appendix A): ``/generate``, ``/superres``, ``/v1/superres``,
+``/health``, ``/storage/*``, plus ``/api/*`` (model_routes), ``/sdapi/v1/*``
+and ``/v1/images/generations`` (compat_endpoints), ``/v1/comfy/jobs``
+(comfy_routes) and ``/dreams/*`` (yume). Responses carry the same
+``X-Seed`` / ``X-Mode`` / ``X-SuperRes`` / ``X-SR-*`` / ``X-LCM-Image-Key``
+metadata headers (lcm_sr_server.py:838-865).
+
+Two serving paths coexist, as in the reference (lcm_sr_server.py:541-595):
+the **mode system** (WorkerPool + modes.yaml + registry + file watcher +
+SIGHUP) and the **legacy** env-configured ``PipelineService``.
+
+Built on aiohttp (FastAPI/uvicorn are not in this image); handlers stay
+contract-identical.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import os
+import signal
+import uuid
+from dataclasses import dataclass, field
+from typing import Optional
+
+from aiohttp import web
+
+from pydantic import ValidationError
+
+from ..engine.base import GenSpec
+from ..engine.worker_pool import GenerationJob, QueueFullError
+from .request_logger import make_request_logger_middleware
+from .schemas import GenerateRequest
+
+logger = logging.getLogger(__name__)
+
+STATE_KEY = web.AppKey("dreamlab_state", object)
+
+
+@dataclass
+class ServerConfig:
+    """Env-derived settings (names from reference lcm_sr_server.py:505-520)."""
+
+    modes_config: Optional[str] = None
+    model_path: Optional[str] = None
+    num_workers: int = 1
+    queue_max: int = 64
+    port: int = 8000
+    default_size: str = "512x512"
+    default_steps: int = 4
+    default_guidance: float = 1.0
+    request_timeout: float = 120.0
+    sr_model_path: Optional[str] = None
+    sr_num_workers: int = 1
+    sr_queue_max: int = 32
+    sr_timeout: float = 120.0
+    sr_max_pixels: Optional[int] = None
+    ui_dist: Optional[str] = None
+    yume_enabled: bool = False
+    comfy_enabled: bool = False
+    warmup: bool = True
+
+    @classmethod
+    def from_env(cls) -> "ServerConfig":
+        env = os.environ
+
+        def get(name, default, cast=str):
+            v = env.get(name)
+            return cast(v) if v not in (None, "") else default
+
+        model_root = env.get("MODEL_ROOT", "")
+        model = env.get("MODEL", "")
+        model_path = os.path.join(model_root, model) if model else (model_root or None)
+        modes = env.get("MODES_CONFIG") or (
+            "modes.yaml" if os.path.exists("modes.yaml") else None
+        )
+        return cls(
+            modes_config=modes,
+            model_path=model_path,
+            num_workers=get("NUM_WORKERS", 1, int),
+            queue_max=get("QUEUE_MAX", 64, int),
+            port=get("PORT", 8000, int),
+            default_size=get("DEFAULT_SIZE", "512x512"),
+            default_steps=get("DEFAULT_STEPS", 4, int),
+            default_guidance=get("DEFAULT_GUIDANCE", 1.0, float),
+            request_timeout=get("DEFAULT_TIMEOUT", 120.0, float),
+            sr_model_path=env.get("SR_MODEL_PATH"),
+            sr_num_workers=get("SR_NUM_WORKERS", 1, int),
+            sr_queue_max=get("SR_QUEUE_MAX", 32, int),
+            sr_timeout=get("SR_TIMEOUT", 120.0, float),
+            sr_max_pixels=get("SR_MAX_PIXELS", None, int),
+            ui_dist=env.get("UI_DIST"),
+            yume_enabled=env.get("YUME_ENABLED", "0") in ("1", "true", "True"),
+            comfy_enabled=env.get("COMFYUI_ENABLED", "0") in ("1", "true", "True"),
+            warmup=env.get("WARMUP", "1") not in ("0", "false", "False"),
+        )
+
+
+@dataclass
+class ServerState:
+    config: ServerConfig
+    pool: Optional[object] = None  # WorkerPool (mode system)
+    legacy: Optional[object] = None  # PipelineService
+    sr: Optional[object] = None  # SuperResService
+    storage: Optional[object] = None
+    mode_config: Optional[object] = None
+    registry: Optional[object] = None
+    watcher: Optional[object] = None
+    dream_worker: Optional[object] = None
+    extra: dict = field(default_factory=dict)
+
+    @property
+    def backend(self) -> str:
+        return "mode" if self.pool is not None else "legacy"
+
+
+# ---------------------------------------------------------------------------
+# middlewares
+# ---------------------------------------------------------------------------
+
+
+@web.middleware
+async def cors_middleware(request: web.Request, handler):
+    if request.method == "OPTIONS":
+        resp = web.Response(status=204)
+    else:
+        resp = await handler(request)
+    resp.headers["Access-Control-Allow-Origin"] = "*"
+    resp.headers["Access-Control-Allow-Methods"] = "GET, POST, PUT, DELETE, OPTIONS"
+    resp.headers["Access-Control-Allow-Headers"] = "Content-Type, Authorization"
+    resp.headers["Access-Control-Expose-Headers"] = "*"
+    return resp
+
+
+@web.middleware
+async def error_middleware(request: web.Request, handler):
+    try:
+        return await handler(request)
+    except web.HTTPException:
+        raise
+    except asyncio.TimeoutError:
+        return web.json_response({"detail": "request timed out"}, status=504)
+    except QueueFullError as e:
+        return web.json_response({"detail": str(e)}, status=429)
+    except ValidationError as e:
+        return web.json_response({"detail": json.loads(e.json())}, status=422)
+    except ValueError as e:
+        return web.json_response({"detail": str(e)}, status=400)
+    except Exception:
+        logger.exception("unhandled error on %s %s", request.method, request.path)
+        return web.json_response({"detail": "internal server error"}, status=500)
+
+
+# ---------------------------------------------------------------------------
+# core handlers
+# ---------------------------------------------------------------------------
+
+
+async def _await_future(fut, timeout: float):
+    return await asyncio.wait_for(asyncio.wrap_future(fut), timeout=timeout)
+
+
+def _spec_from_request(req: GenerateRequest, state: ServerState) -> GenSpec:
+    return GenSpec(
+        prompt=req.prompt,
+        size=req.size,
+        num_inference_steps=req.num_inference_steps,
+        guidance_scale=req.guidance_scale,
+        seed=req.seed,
+        negative_prompt=req.negative_prompt,
+        style=req.style_lora.style if req.style_lora else None,
+        style_level=req.style_lora.level if req.style_lora else 0,
+    )
+
+
+def _apply_mode_defaults(req: GenerateRequest, mode) -> None:
+    """Fill unset fields from the mode's defaults (lcm_sr_server.py:754-765)."""
+    unset = req.model_fields_set
+    if "size" not in unset and mode.default_size():
+        req.size = mode.default_size()
+    if "num_inference_steps" not in unset and mode.default_steps():
+        req.num_inference_steps = int(mode.default_steps())
+    if "guidance_scale" not in unset and mode.default_guidance() is not None:
+        req.guidance_scale = float(mode.default_guidance())
+
+
+async def run_generate(state: ServerState, req: GenerateRequest):
+    """Shared generation flow → (image_bytes, headers dict)."""
+    cfg = state.config
+
+    if req.mode is not None:
+        if state.pool is None:
+            raise web.HTTPBadRequest(
+                text=json.dumps({"detail": "mode system not enabled"}),
+                content_type="application/json",
+            )
+        if not state.mode_config.has_mode(req.mode):
+            raise web.HTTPNotFound(
+                text=json.dumps({"detail": f"unknown mode {req.mode!r}"}),
+                content_type="application/json",
+            )
+        if state.pool.current_mode != req.mode:
+            fut = state.pool.switch_mode(req.mode)
+            await _await_future(fut, timeout=30.0)
+
+    if state.pool is not None and state.mode_config is not None:
+        current = state.pool.current_mode
+        if current and state.mode_config.has_mode(current):
+            _apply_mode_defaults(req, state.mode_config.get_mode(current))
+
+    spec = _spec_from_request(req, state)
+
+    if state.pool is not None:
+        fut = state.pool.submit_job(GenerationJob(spec))
+    elif state.legacy is not None:
+        try:
+            fut = state.legacy.submit(spec)
+        except Exception as e:
+            if "Full" in type(e).__name__ or "full" in str(e):
+                raise QueueFullError("queue full") from e
+            raise
+    else:
+        raise web.HTTPServiceUnavailable(
+            text=json.dumps({"detail": "no generation backend loaded"}),
+            content_type="application/json",
+        )
+    png, seed = await _await_future(fut, timeout=cfg.request_timeout)
+
+    headers = {
+        "X-Seed": str(seed),
+        "X-Mode": state.pool.current_mode if state.pool else "legacy",
+        "X-SuperRes": "false",
+    }
+    media_type = "image/png"
+    data = png
+
+    if req.superres and state.sr is not None:
+        sr_fut = state.sr.submit(
+            png, magnitude=req.superres_magnitude,
+            out_format=req.superres_format, quality=req.superres_quality,
+        )
+        data, passes = await _await_future(sr_fut, timeout=cfg.sr_timeout)
+        headers.update({
+            "X-SuperRes": "true",
+            "X-SR-Passes": str(passes),
+            "X-SR-Scale-Per-Pass": "3",
+            "X-SR-Model": "espcn-tpu",
+        })
+        if req.superres_format in ("jpeg", "jpg"):
+            media_type = "image/jpeg"
+
+    if state.storage is not None:
+        key = state.storage.new_key()
+        state.storage.put(
+            key, data,
+            metadata={
+                "prompt": req.prompt[:256], "seed": str(seed),
+                "size": req.size, "steps": str(req.num_inference_steps),
+            },
+            content_type=media_type,
+        )
+        headers["X-LCM-Image-Key"] = key
+
+    return data, media_type, headers
+
+
+async def generate_handler(request: web.Request) -> web.Response:
+    state: ServerState = request.app[STATE_KEY]
+    req = GenerateRequest.model_validate(await request.json())
+    data, media_type, headers = await run_generate(state, req)
+    return web.Response(body=data, content_type=media_type, headers=headers)
+
+
+async def superres_handler(request: web.Request) -> web.Response:
+    state: ServerState = request.app[STATE_KEY]
+    if state.sr is None:
+        raise web.HTTPServiceUnavailable(
+            text=json.dumps({"detail": "superres not enabled"}),
+            content_type="application/json",
+        )
+    post = await request.post()
+    upload = post.get("file")
+    if upload is None or not hasattr(upload, "file"):
+        raise web.HTTPBadRequest(
+            text=json.dumps({"detail": "multipart field 'file' required"}),
+            content_type="application/json",
+        )
+    data = upload.file.read()
+    magnitude = int(post.get("magnitude", 1))
+    out_format = str(post.get("out_format", "png")).lower()
+    quality = int(post.get("quality", 90))
+    if not 1 <= magnitude <= 3:
+        raise web.HTTPBadRequest(
+            text=json.dumps({"detail": "magnitude must be 1-3"}),
+            content_type="application/json",
+        )
+    try:
+        fut = state.sr.submit(data, magnitude=magnitude, out_format=out_format,
+                              quality=quality)
+    except Exception as e:
+        raise QueueFullError("SR queue full") from e
+    out, passes = await _await_future(fut, timeout=state.config.sr_timeout)
+    return web.Response(
+        body=out,
+        content_type="image/jpeg" if out_format in ("jpeg", "jpg") else "image/png",
+        headers={
+            "X-SR-Passes": str(passes),
+            "X-SR-Scale-Per-Pass": "3",
+            "X-SR-Model": "espcn-tpu",
+        },
+    )
+
+
+async def health_handler(request: web.Request) -> web.Response:
+    state: ServerState = request.app[STATE_KEY]
+    return web.json_response({"status": "ok", "backend": state.backend})
+
+
+async def storage_get_handler(request: web.Request) -> web.Response:
+    state: ServerState = request.app[STATE_KEY]
+    if state.storage is None:
+        raise web.HTTPServiceUnavailable(
+            text=json.dumps({"detail": "storage disabled"}),
+            content_type="application/json",
+        )
+    item = state.storage.get(request.match_info["key"])
+    if item is None:
+        raise web.HTTPNotFound(
+            text=json.dumps({"detail": "not found"}),
+            content_type="application/json",
+        )
+    return web.Response(
+        body=item.data, content_type=item.content_type,
+        headers={f"X-Meta-{k}": v for k, v in item.metadata.items()},
+    )
+
+
+async def storage_put_handler(request: web.Request) -> web.Response:
+    state: ServerState = request.app[STATE_KEY]
+    if state.storage is None:
+        raise web.HTTPServiceUnavailable(
+            text=json.dumps({"detail": "storage disabled"}),
+            content_type="application/json",
+        )
+    data = await request.read()
+    key = request.match_info["key"]
+    state.storage.put(
+        key, data, content_type=request.content_type or "application/octet-stream"
+    )
+    return web.json_response({"key": key, "bytes": len(data)})
+
+
+async def storage_health_handler(request: web.Request) -> web.Response:
+    state: ServerState = request.app[STATE_KEY]
+    if state.storage is None:
+        return web.json_response({"provider": "disabled", "ok": False})
+    return web.json_response(state.storage.health())
+
+
+# ---------------------------------------------------------------------------
+# lifespan
+# ---------------------------------------------------------------------------
+
+
+async def _startup(app: web.Application):
+    state: ServerState = app[STATE_KEY]
+    cfg = state.config
+    loop = asyncio.get_running_loop()
+
+    def build():
+        from .superres_service import SuperResService
+        from ..persistence import make_storage_provider_from_env
+
+        if state.storage is None:
+            state.storage = make_storage_provider_from_env()
+
+        if state.sr is None:
+            state.sr = SuperResService(
+                model_path=cfg.sr_model_path,
+                num_workers=cfg.sr_num_workers,
+                queue_max=cfg.sr_queue_max,
+                max_pixels=cfg.sr_max_pixels,
+            )
+
+        if state.pool is None and state.legacy is None:
+            if cfg.modes_config and os.path.exists(cfg.modes_config):
+                from ..engine.mode_config import ModeConfigManager
+                from ..engine.worker_pool import WorkerPool
+
+                state.mode_config = ModeConfigManager(cfg.modes_config)
+                state.pool = WorkerPool(
+                    queue_max=cfg.queue_max, mode_config=state.mode_config
+                )
+            elif cfg.model_path:
+                from .legacy_service import PipelineService
+                from ..engine.worker_factory import create_tpu_worker
+                import jax
+
+                devices = jax.devices()
+
+                def factory(i):
+                    return create_tpu_worker(
+                        i, cfg.model_path,
+                        warmup_size=(
+                            tuple(map(int, cfg.default_size.split("x")))
+                            if cfg.warmup else None
+                        ),
+                    )
+
+                state.legacy = PipelineService(
+                    factory, num_workers=min(cfg.num_workers, len(devices)),
+                    queue_max=cfg.queue_max,
+                )
+            else:
+                logger.warning(
+                    "no modes.yaml and no MODEL env — serving without a "
+                    "generation backend (health/storage/SR only)"
+                )
+
+    await loop.run_in_executor(None, build)
+
+    # config hot-reload: file watcher + SIGHUP (lcm_sr_server.py:569-585)
+    if state.pool is not None and cfg.modes_config:
+        from ..engine.file_watcher import start_config_watcher
+
+        def reload_config():
+            state.mode_config.reload()
+
+        state.watcher = start_config_watcher(cfg.modes_config, reload_config)
+        try:
+            loop.add_signal_handler(signal.SIGHUP, reload_config)
+        except (NotImplementedError, RuntimeError):
+            pass
+
+    if cfg.yume_enabled:
+        from ..yume.dream_init import initialize_dream_system
+
+        worker = None
+        if state.pool is not None:
+            worker = state.pool.worker
+        elif state.legacy is not None and state.legacy.workers:
+            worker = state.legacy.workers[0]
+        if worker is not None:
+            state.dream_worker = await initialize_dream_system(worker)
+
+    if cfg.comfy_enabled:
+        from .startup_hooks import start_jobs_reaper
+
+        start_jobs_reaper()
+
+
+async def _cleanup(app: web.Application):
+    state: ServerState = app[STATE_KEY]
+    if state.watcher is not None:
+        state.watcher.stop()
+    if state.dream_worker is not None:
+        await state.dream_worker.stop_dreaming()
+    for svc in (state.pool, state.legacy, state.sr):
+        if svc is not None:
+            try:
+                svc.shutdown()
+            except Exception:
+                logger.exception("shutdown error")
+    if state.storage is not None:
+        state.storage.close()
+
+
+# ---------------------------------------------------------------------------
+# app factory
+# ---------------------------------------------------------------------------
+
+
+def create_app(
+    config: Optional[ServerConfig] = None,
+    *,
+    pool=None,
+    legacy=None,
+    sr=None,
+    storage=None,
+    mode_config=None,
+    registry=None,
+    skip_startup: bool = False,
+) -> web.Application:
+    """Build the server. Components are injectable for tests (the DI seam
+    the reference builds into WorkerPool, worker_pool.py:165-168)."""
+    cfg = config or ServerConfig.from_env()
+    state = ServerState(
+        config=cfg, pool=pool, legacy=legacy, sr=sr, storage=storage,
+        mode_config=mode_config, registry=registry,
+    )
+
+    app = web.Application(
+        middlewares=[
+            make_request_logger_middleware(),
+            cors_middleware,
+            error_middleware,
+        ],
+        client_max_size=64 << 20,
+    )
+    app[STATE_KEY] = state
+
+    app.router.add_post("/generate", generate_handler)
+    app.router.add_post("/superres", superres_handler)
+    app.router.add_post("/v1/superres", superres_handler)
+    app.router.add_get("/health", health_handler)
+    app.router.add_get("/storage/health", storage_health_handler)
+    app.router.add_get("/storage/{key:.+}", storage_get_handler)
+    app.router.add_put("/storage/{key:.+}", storage_put_handler)
+
+    from .model_routes import register_model_routes
+    from .compat_endpoints import register_compat_routes
+
+    register_model_routes(app)
+    register_compat_routes(app)
+
+    if cfg.comfy_enabled:
+        from .comfy_routes import register_comfy_routes
+
+        register_comfy_routes(app)
+    if cfg.yume_enabled:
+        from ..yume.dream_endpoints import register_dream_routes
+
+        register_dream_routes(app)
+
+    if cfg.ui_dist and os.path.isdir(cfg.ui_dist):
+        app.router.add_static("/", cfg.ui_dist, show_index=True)
+
+    if not skip_startup:
+        app.on_startup.append(_startup)
+        app.on_cleanup.append(_cleanup)
+    return app
+
+
+def main():  # pragma: no cover - process entrypoint
+    from .logging_config import configure_logging
+
+    configure_logging()
+    cfg = ServerConfig.from_env()
+    app = create_app(cfg)
+    web.run_app(app, port=cfg.port)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -1,0 +1,116 @@
+"""Model management API: /api/* routes.
+
+Contract port of /root/reference/server/model_routes.py:40-228:
+``/api/models/status``, ``/api/modes``, ``/api/modes/switch`` (queued),
+``/api/modes/reload``, ``/api/vram`` (HBM here, same schema), and the
+reserved 501 stubs ``/api/models/load`` / ``/api/models/unload``.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+
+from aiohttp import web
+
+logger = logging.getLogger(__name__)
+
+
+def _state(request: web.Request):
+    from .app import STATE_KEY
+
+    return request.app[STATE_KEY]
+
+
+def _require_mode_system(state):
+    if state.pool is None or state.mode_config is None:
+        raise web.HTTPServiceUnavailable(
+            text=json.dumps({"detail": "mode system not enabled"}),
+            content_type="application/json",
+        )
+
+
+async def models_status(request: web.Request) -> web.Response:
+    state = _state(request)
+    registry = state.registry
+    if registry is None:
+        from ..engine.model_registry import get_model_registry
+
+        registry = get_model_registry()
+    payload = {
+        "backend": state.backend,
+        "current_mode": state.pool.current_mode if state.pool else None,
+        "queue": state.pool.get_status() if state.pool else None,
+        "memory": registry.get_hbm_stats(),
+    }
+    return web.json_response(payload)
+
+
+async def list_modes(request: web.Request) -> web.Response:
+    state = _state(request)
+    _require_mode_system(state)
+    d = state.mode_config.to_dict()
+    d["current_mode"] = state.pool.current_mode
+    return web.json_response(d)
+
+
+async def switch_mode(request: web.Request) -> web.Response:
+    state = _state(request)
+    _require_mode_system(state)
+    body = await request.json()
+    mode = body.get("mode")
+    if not mode:
+        raise web.HTTPBadRequest(
+            text=json.dumps({"detail": "field 'mode' required"}),
+            content_type="application/json",
+        )
+    if not state.mode_config.has_mode(mode):
+        raise web.HTTPNotFound(
+            text=json.dumps({"detail": f"unknown mode {mode!r}"}),
+            content_type="application/json",
+        )
+    fut = state.pool.switch_mode(mode)
+    wait = float(body.get("wait_seconds", 0) or 0)
+    if wait > 0:
+        await asyncio.wait_for(asyncio.wrap_future(fut), timeout=wait)
+        return web.json_response({"status": "switched", "mode": mode})
+    return web.json_response({"status": "queued", "mode": mode})
+
+
+async def reload_modes(request: web.Request) -> web.Response:
+    state = _state(request)
+    _require_mode_system(state)
+    state.mode_config.reload()
+    return web.json_response({
+        "status": "reloaded",
+        "modes": state.mode_config.mode_names(),
+    })
+
+
+async def hbm_stats(request: web.Request) -> web.Response:
+    state = _state(request)
+    registry = state.registry
+    if registry is None:
+        from ..engine.model_registry import get_model_registry
+
+        registry = get_model_registry()
+    return web.json_response(registry.get_hbm_stats())
+
+
+async def not_implemented(request: web.Request) -> web.Response:
+    # reserved endpoints (reference model_routes.py:183-228)
+    return web.json_response(
+        {"detail": "not implemented; use /api/modes/switch"}, status=501
+    )
+
+
+def register_model_routes(app: web.Application):
+    app.router.add_get("/api/models/status", models_status)
+    app.router.add_get("/api/modes", list_modes)
+    app.router.add_post("/api/modes/switch", switch_mode)
+    app.router.add_post("/api/modes/reload", reload_modes)
+    app.router.add_get("/api/vram", hbm_stats)  # name kept for compat
+    app.router.add_get("/api/hbm", hbm_stats)
+    app.router.add_post("/api/models/load", not_implemented)
+    app.router.add_post("/api/models/unload", not_implemented)

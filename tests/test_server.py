@@ -1,0 +1,256 @@
+"""REST API contract tests against the real serving stack (tiny pipeline on
+CPU): /generate headers + bytes, backpressure, mode routes, compat
+endpoints, storage, superres, health — the contracts in SURVEY.md Appendix A."""
+
+import asyncio
+import base64
+import io
+import json
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from aiohttp.test_utils import TestClient, TestServer
+
+from dreamlab_tpu.engine.model_registry import ModelRegistry
+from dreamlab_tpu.engine.worker_pool import WorkerPool
+from dreamlab_tpu.models.configs import SuperResConfig
+from dreamlab_tpu.persistence import InMemoryStorageProvider
+from dreamlab_tpu.pipeline import LCMPipeline
+from dreamlab_tpu.serving.app import ServerConfig, create_app
+from dreamlab_tpu.serving.superres_service import SuperResService
+from dreamlab_tpu.testing import random_bundle
+from tests.test_engine import write_modes_yaml
+from dreamlab_tpu.engine.mode_config import ModeConfigManager
+from dreamlab_tpu.engine.tpu_worker import TPUPipelineWorker
+
+
+@pytest.fixture(scope="module")
+def shared_pipe():
+    return LCMPipeline(random_bundle("sd15", tiny=True), dtype=jnp.float32)
+
+
+@pytest.fixture()
+def client(tmp_path, shared_pipe):
+    """App with a real (tiny) worker behind the mode system."""
+    cfgfile = write_modes_yaml(tmp_path / "modes.yaml", modes=("alpha", "beta"))
+    mode_config = ModeConfigManager(str(cfgfile))
+    registry = ModelRegistry(total_hbm_bytes=16 << 30)
+
+    def factory(worker_id, model_path):
+        return TPUPipelineWorker(shared_pipe, worker_id)
+
+    pool = WorkerPool(
+        queue_max=8, worker_factory=factory, mode_config=mode_config,
+        registry=registry,
+    )
+    sr = SuperResService(cfg=SuperResConfig(tile=16), num_workers=1)
+    storage = InMemoryStorageProvider()
+    cfg = ServerConfig(default_size="32x32", default_steps=2, request_timeout=60)
+    app = create_app(
+        cfg, pool=pool, sr=sr, storage=storage,
+        mode_config=mode_config, registry=registry, skip_startup=True,
+    )
+
+    loop = asyncio.new_event_loop()
+    cl = TestClient(TestServer(app, loop=loop), loop=loop)
+    loop.run_until_complete(cl.start_server())
+
+    def call(method, path, **kw):
+        async def go():
+            resp = await cl.request(method, path, **kw)
+            body = await resp.read()
+            return resp, body
+        return loop.run_until_complete(go())
+
+    yield call
+    loop.run_until_complete(cl.close())
+    pool.shutdown(drain=False, timeout=1)
+    sr.shutdown()
+    loop.close()
+
+
+GEN = {"prompt": "a cat", "size": "32x32", "num_inference_steps": 2, "seed": 7}
+
+
+def test_health(client):
+    resp, body = client("GET", "/health")
+    assert resp.status == 200
+    data = json.loads(body)
+    assert data["status"] == "ok" and data["backend"] == "mode"
+
+
+def test_generate_returns_png_with_headers(client):
+    resp, body = client("POST", "/generate", json=GEN)
+    assert resp.status == 200, body
+    assert body[:8] == b"\x89PNG\r\n\x1a\n"
+    assert resp.headers["X-Seed"] == "7"
+    assert resp.headers["X-Mode"] == "alpha"
+    assert resp.headers["X-SuperRes"] == "false"
+    assert resp.headers["X-LCM-Image-Key"].startswith("lcm:")
+    assert resp.headers["Access-Control-Allow-Origin"] == "*"
+
+
+def test_generate_then_fetch_from_storage(client):
+    resp, body = client("POST", "/generate", json=GEN)
+    key = resp.headers["X-LCM-Image-Key"]
+    resp2, body2 = client("GET", f"/storage/{key}")
+    assert resp2.status == 200
+    assert body2 == body
+    assert resp2.headers["X-Meta-seed"] == "7"
+
+
+def test_generate_validation_error(client):
+    resp, body = client("POST", "/generate", json={"prompt": "x", "size": "bogus"})
+    assert resp.status == 422
+    resp, body = client("POST", "/generate",
+                        json={"prompt": "x", "num_inference_steps": 99})
+    assert resp.status == 422
+
+
+def test_generate_unknown_mode_404(client):
+    resp, body = client("POST", "/generate", json={**GEN, "mode": "nope"})
+    assert resp.status == 404
+
+
+def test_generate_mode_switch(client):
+    resp, _ = client("POST", "/generate", json={**GEN, "mode": "beta"})
+    assert resp.status == 200
+    assert resp.headers["X-Mode"] == "beta"
+
+
+def test_generate_with_superres(client):
+    resp, body = client("POST", "/generate", json={
+        **GEN, "superres": True, "superres_magnitude": 1,
+    })
+    assert resp.status == 200
+    assert resp.headers["X-SuperRes"] == "true"
+    assert resp.headers["X-SR-Passes"] == "1"
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(body))
+    assert img.size == (96, 96)  # 32 × 3
+
+
+def test_superres_upload(client):
+    import aiohttp
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (20, 24), (128, 40, 200)).save(buf, format="PNG")
+    form = aiohttp.FormData()
+    form.add_field("file", buf.getvalue(), filename="in.png",
+                   content_type="image/png")
+    form.add_field("magnitude", "1")
+    form.add_field("out_format", "jpeg")
+    resp, body = client("POST", "/superres", data=form)
+    assert resp.status == 200
+    out = Image.open(io.BytesIO(body))
+    assert out.size == (60, 72)
+    assert out.format == "JPEG"
+
+
+def test_superres_bad_magnitude(client):
+    import aiohttp
+
+    form = aiohttp.FormData()
+    form.add_field("file", b"xx", filename="in.png", content_type="image/png")
+    form.add_field("magnitude", "9")
+    resp, _ = client("POST", "/superres", data=form)
+    assert resp.status == 400
+
+
+def test_storage_health_and_put(client):
+    resp, body = client("GET", "/storage/health")
+    assert json.loads(body)["ok"]
+    resp, body = client("PUT", "/storage/custom:key", data=b"blob")
+    assert resp.status == 200
+    resp, body = client("GET", "/storage/custom:key")
+    assert body == b"blob"
+
+
+def test_storage_missing_404(client):
+    resp, _ = client("GET", "/storage/nope")
+    assert resp.status == 404
+
+
+def test_api_models_status(client):
+    resp, body = client("GET", "/api/models/status")
+    data = json.loads(body)
+    assert data["backend"] == "mode"
+    assert data["current_mode"] in ("alpha", "beta")
+    assert "memory" in data
+
+
+def test_api_modes_and_switch(client):
+    resp, body = client("GET", "/api/modes")
+    data = json.loads(body)
+    assert set(data["modes"]) == {"alpha", "beta"}
+    resp, body = client("POST", "/api/modes/switch",
+                        json={"mode": "alpha", "wait_seconds": 10})
+    assert resp.status == 200
+    assert json.loads(body)["status"] == "switched"
+    resp, _ = client("POST", "/api/modes/switch", json={"mode": "zz"})
+    assert resp.status == 404
+    resp, _ = client("POST", "/api/modes/switch", json={})
+    assert resp.status == 400
+
+
+def test_api_vram_schema(client):
+    resp, body = client("GET", "/api/vram")
+    data = json.loads(body)
+    for k in ("total_gb", "used_gb", "available_gb", "models"):
+        assert k in data
+
+
+def test_api_reserved_501(client):
+    for path in ("/api/models/load", "/api/models/unload"):
+        resp, _ = client("POST", path, json={})
+        assert resp.status == 501
+
+
+def test_sdapi_models_options_samplers(client):
+    resp, body = client("GET", "/sdapi/v1/sd-models")
+    names = {m["model_name"] for m in json.loads(body)}
+    assert names == {"alpha", "beta"}
+    resp, body = client("GET", "/sdapi/v1/options")
+    assert "sd_model_checkpoint" in json.loads(body)
+    resp, body = client("GET", "/sdapi/v1/samplers")
+    assert json.loads(body)[0]["name"] == "LCM"
+
+
+def test_sdapi_txt2img(client):
+    resp, body = client("POST", "/sdapi/v1/txt2img", json={
+        "prompt": "a cat", "width": 32, "height": 32, "steps": 2, "seed": 3,
+    })
+    assert resp.status == 200, body
+    data = json.loads(body)
+    img = base64.b64decode(data["images"][0])
+    assert img[:8] == b"\x89PNG\r\n\x1a\n"
+    assert json.loads(data["info"])["seed"] == 3
+
+
+def test_sdapi_txt2img_random_seed(client):
+    resp, body = client("POST", "/sdapi/v1/txt2img", json={
+        "prompt": "a cat", "width": 32, "height": 32, "steps": 1, "seed": -1,
+    })
+    assert json.loads(body)["info"]
+
+
+def test_openai_images(client):
+    resp, body = client("POST", "/v1/images/generations", json={
+        "prompt": "a cat", "size": "32x32", "n": 1,
+    })
+    assert resp.status == 200, body
+    data = json.loads(body)
+    assert len(data["data"]) == 1
+    img = base64.b64decode(data["data"][0]["b64_json"])
+    assert img[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_mode_defaults_applied(client):
+    # modes.yaml from write_modes_yaml sets defaults: steps 4 — but tiny
+    # pipeline accepts that; verify the request carries defaults when unset.
+    resp, _ = client("POST", "/generate", json={"prompt": "x", "size": "32x32",
+                                                "seed": 1})
+    assert resp.status == 200
