@@ -1,0 +1,132 @@
+"""Candidate scorers: CLIP similarity + aesthetic heuristic + composite.
+
+Behavioral port of /root/reference/yume/scoring.py:27-240:
+- ``CLIPScorer`` — prompt↔image cosine similarity clamped to [0, 1], with a
+  text-embedding cache and batch scoring. Model-agnostic: any object with
+  ``embed_text(str)->vec`` / ``embed_images(arrs)->vecs`` works (an HF
+  CLIPModel adapter is provided; tests inject a deterministic fake).
+- ``AestheticScorer`` — 0.5·sharpness + 0.3·contrast + 0.2·color-variety.
+- ``CompositeScorer`` — weighted blend.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class CLIPScorer:
+    def __init__(self, model):
+        """model: embed_text(str) -> [D]; embed_images(list[np.ndarray HWC u8])
+        -> [N, D]."""
+        self.model = model
+        self._text_cache: Dict[str, np.ndarray] = {}
+
+    def _text_embedding(self, prompt: str) -> np.ndarray:
+        if prompt not in self._text_cache:
+            v = np.asarray(self.model.embed_text(prompt), np.float32)
+            self._text_cache[prompt] = v / (np.linalg.norm(v) + 1e-8)
+        return self._text_cache[prompt]
+
+    def score(self, image: np.ndarray, prompt: str) -> float:
+        return self.score_batch([image], prompt)[0]
+
+    def score_batch(self, images: Sequence[np.ndarray], prompt: str) -> List[float]:
+        t = self._text_embedding(prompt)
+        vecs = np.asarray(self.model.embed_images(list(images)), np.float32)
+        vecs = vecs / (np.linalg.norm(vecs, axis=-1, keepdims=True) + 1e-8)
+        sims = vecs @ t
+        # cosine ∈ [-1, 1] → clamp to [0, 1] (reference scoring.py:97-114)
+        return [float(np.clip(s, 0.0, 1.0)) for s in sims]
+
+
+class HFCLIPAdapter:
+    """Wrap a transformers CLIPModel+processor into the scorer interface."""
+
+    def __init__(self, model, processor):
+        self.model = model
+        self.processor = processor
+
+    def embed_text(self, prompt: str):
+        import torch
+
+        inputs = self.processor(text=[prompt], return_tensors="pt", padding=True)
+        with torch.no_grad():
+            return self.model.get_text_features(**inputs)[0].numpy()
+
+    def embed_images(self, images):
+        import torch
+        from PIL import Image
+
+        pil = [Image.fromarray(im) for im in images]
+        inputs = self.processor(images=pil, return_tensors="pt")
+        with torch.no_grad():
+            return self.model.get_image_features(**inputs).numpy()
+
+
+def _to_gray(image: np.ndarray) -> np.ndarray:
+    img = np.asarray(image, np.float32)
+    if img.ndim == 3:
+        img = img @ np.array([0.299, 0.587, 0.114], np.float32)
+    return img
+
+
+def _laplacian_var(gray: np.ndarray) -> float:
+    """Sharpness: variance of the 4-neighbour Laplacian."""
+    lap = (
+        -4.0 * gray[1:-1, 1:-1]
+        + gray[:-2, 1:-1] + gray[2:, 1:-1]
+        + gray[1:-1, :-2] + gray[1:-1, 2:]
+    )
+    return float(lap.var())
+
+
+class AestheticScorer:
+    """Heuristic fallback when no CLIP is available
+    (reference scoring.py:159-191): 0.5·sharpness + 0.3·contrast +
+    0.2·color-variety, each normalized to [0, 1]."""
+
+    SHARPNESS_NORM = 1000.0
+    CONTRAST_NORM = 80.0
+    COLOR_NORM = 60.0
+
+    def score(self, image: np.ndarray, prompt: str = "") -> float:
+        img = np.asarray(image, np.float32)
+        gray = _to_gray(img)
+        sharp = min(_laplacian_var(gray) / self.SHARPNESS_NORM, 1.0)
+        contrast = min(float(gray.std()) / self.CONTRAST_NORM, 1.0)
+        if img.ndim == 3:
+            color = min(float(img.std(axis=(0, 1)).mean()) / self.COLOR_NORM, 1.0)
+        else:
+            color = 0.0
+        return float(0.5 * sharp + 0.3 * contrast + 0.2 * color)
+
+    def score_batch(self, images, prompt: str = ""):
+        return [self.score(im, prompt) for im in images]
+
+
+class CompositeScorer:
+    def __init__(self, scorers: Sequence, weights: Optional[Sequence[float]] = None):
+        self.scorers = list(scorers)
+        w = np.asarray(
+            weights if weights is not None else [1.0] * len(self.scorers),
+            np.float64,
+        )
+        self.weights = w / w.sum()
+
+    def score(self, image: np.ndarray, prompt: str = "") -> float:
+        return float(sum(
+            w * s.score(image, prompt)
+            for w, s in zip(self.weights, self.scorers)
+        ))
+
+    def score_batch(self, images, prompt: str = ""):
+        parts = [s.score_batch(images, prompt) for s in self.scorers]
+        return [
+            float(sum(w * p[i] for w, p in zip(self.weights, parts)))
+            for i in range(len(images))
+        ]

@@ -1,0 +1,269 @@
+"""Yume: strategies, scorers, dream sessions (async, real tiny worker),
+invoker job store + workflow patching + reaper — mirroring the reference's
+integration suite (reference tests/test_dream_worker.py,
+test_integration.py, test_scoring.py)."""
+
+import asyncio
+import json
+import time
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from dreamlab_tpu.engine.tpu_worker import TPUPipelineWorker
+from dreamlab_tpu.invokers.jobs import (
+    HARD_TIMEOUT_S,
+    STALE_AFTER_S,
+    jobs_clear,
+    jobs_get,
+    jobs_put,
+    jobs_update_path,
+    jobs_append_unique,
+    reap_stale_jobs,
+)
+from dreamlab_tpu.invokers.workflow_store import WorkflowStore
+from dreamlab_tpu.pipeline import LCMPipeline
+from dreamlab_tpu.testing import random_bundle
+from dreamlab_tpu.yume.dream_worker import DreamWorker
+from dreamlab_tpu.yume.scoring import (
+    AestheticScorer,
+    CLIPScorer,
+    CompositeScorer,
+)
+from dreamlab_tpu.yume.strategies import (
+    MAX_SEED,
+    EvolutionaryStrategy,
+    TemperatureScheduleStrategy,
+    get_strategy,
+)
+
+
+# ---------------------------------------------------------------------------
+# strategies
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name", ["random", "linear", "grid", "evolutionary", "temperature", "cluster"]
+)
+def test_strategies_produce_valid_seeds(name):
+    s = get_strategy(name, rng=np.random.RandomState(0))
+    seeds = []
+    for _ in range(50):
+        seed = s.next_seed()
+        assert 0 <= seed < MAX_SEED
+        s.record_score(seed, np.random.rand())
+        seeds.append(seed)
+    assert len(set(seeds)) > 5  # explores
+
+
+def test_get_strategy_unknown():
+    with pytest.raises(ValueError):
+        get_strategy("bogus")
+
+
+def test_evolutionary_crossover_biases_toward_elites():
+    rng = np.random.RandomState(0)
+    s = EvolutionaryStrategy(rng=rng, population_size=8, mutation_range=10)
+    # seed a population where high seeds score high
+    for seed in range(8):
+        s.record_score(seed * 1000 + 100_000_000, seed / 8.0)
+    children = [s.next_seed() for _ in range(20)]
+    assert all(90_000_000 < c < 110_008_000 for c in children)
+
+
+def test_temperature_converges_to_best():
+    rng = np.random.RandomState(0)
+    s = TemperatureScheduleStrategy(rng=rng, initial_temp=0.2, decay=0.5,
+                                    min_temp=0.01)
+    s.record_score(500_000_000, 0.99)
+    near = sum(
+        1 for _ in range(50)
+        if abs(s.next_seed() - 500_000_000) < MAX_SEED * 0.011
+    )
+    assert near > 40
+
+
+# ---------------------------------------------------------------------------
+# scoring
+# ---------------------------------------------------------------------------
+
+
+class FakeCLIP:
+    """Deterministic embedding model (reference conftest.py:164-210)."""
+
+    def embed_text(self, prompt):
+        rs = np.random.RandomState(abs(hash(prompt)) % (2**31))
+        return rs.randn(64)
+
+    def embed_images(self, images):
+        return np.stack([
+            np.random.RandomState(int(im.sum()) % (2**31)).randn(64)
+            for im in images
+        ])
+
+
+def test_clip_scorer_range_and_cache():
+    s = CLIPScorer(FakeCLIP())
+    img = np.random.RandomState(0).randint(0, 255, (32, 32, 3), np.uint8)
+    v1 = s.score(img, "a cat")
+    assert 0.0 <= v1 <= 1.0
+    assert "a cat" in s._text_cache
+    v2 = s.score(img, "a cat")
+    assert v1 == v2
+
+
+def test_aesthetic_monotonic_sharpness():
+    s = AestheticScorer()
+    rs = np.random.RandomState(0)
+    sharp = rs.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+    blurry = np.full((64, 64, 3), 128, np.uint8)
+    assert s.score(sharp) > s.score(blurry)
+
+
+def test_composite_weighting():
+    class Const:
+        def __init__(self, v):
+            self.v = v
+
+        def score(self, image, prompt=""):
+            return self.v
+
+        def score_batch(self, images, prompt=""):
+            return [self.v] * len(images)
+
+    c = CompositeScorer([Const(1.0), Const(0.0)], weights=[3, 1])
+    assert c.score(None) == pytest.approx(0.75)
+
+
+# ---------------------------------------------------------------------------
+# dream sessions (async, real tiny worker)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def gen_worker():
+    bundle = random_bundle("sd15", tiny=True)
+    return TPUPipelineWorker(LCMPipeline(bundle, dtype=jnp.float32), 0)
+
+
+def test_dream_session_end_to_end(gen_worker):
+    async def run():
+        dream = DreamWorker(
+            gen_worker, scorer=AestheticScorer(), redis=None,
+            render_interval=2, score_threshold=0.0, candidate_batch=2,
+            candidate_size="32x32", candidate_steps=1,
+            render_size="32x32", render_steps=2,
+        )
+        await dream.start_dreaming("tiny dream", duration_s=1.5,
+                                   strategy="random")
+        st = dream.get_status()
+        assert st["running"]
+        with pytest.raises(RuntimeError):
+            await dream.start_dreaming("again")
+        await asyncio.sleep(1.8)
+        st = await dream.stop_dreaming()
+        assert not st["running"]
+        assert st["stats"]["generated"] > 0
+        assert st["stats"]["scored"] == st["stats"]["generated"]
+        top = dream.get_top_dreams(5)
+        assert top and all(0 <= t["score"] <= 1 for t in top)
+        assert dream.get_recent(5)
+        # finalize rendered at least one candidate at full quality
+        assert st["stats"]["rendered"] >= 1
+        png = dream.get_rendered_png(top[0]["id"])
+        if png is not None:
+            assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        return True
+
+    assert asyncio.run(run())
+
+
+def test_dream_prompt_variations(gen_worker):
+    dream = DreamWorker(gen_worker)
+    cold = dream._prompt_variations("a forest", 0.0)
+    hot = dream._prompt_variations("a forest", 1.0)
+    assert cold[0] == "a forest"
+    assert all(p == "a forest" for p in cold)
+    assert any("," in p for p in hot)
+
+
+# ---------------------------------------------------------------------------
+# invoker job store + reaper + workflow patching
+# ---------------------------------------------------------------------------
+
+
+def test_jobs_store_snapshot_isolation():
+    jobs_clear()
+    jobs_put("j1", {"status": "running", "progress": {"fraction": 0.0}})
+    snap = jobs_get("j1")
+    snap["status"] = "mutated"
+    assert jobs_get("j1")["status"] == "running"
+    jobs_update_path("j1", "progress.fraction", 0.5)
+    assert jobs_get("j1")["progress"]["fraction"] == 0.5
+    jobs_append_unique("j1", "outputs", {"f": "a.png"})
+    jobs_append_unique("j1", "outputs", {"f": "a.png"})
+    assert len(jobs_get("j1")["outputs"]) == 1
+
+
+def test_jobs_reaper_stale_and_hard_timeout():
+    jobs_clear()
+    now = time.time()
+    jobs_put("stale", {"status": "running"})
+    jobs_put("old", {"status": "running"})
+    jobs_put("done", {"status": "done"})
+    # age them artificially
+    from dreamlab_tpu.invokers import jobs as J
+
+    with J._LOCK:
+        J._JOBS["stale"]["heartbeat_at"] = now - STALE_AFTER_S - 1
+        J._JOBS["old"]["created_at"] = now - HARD_TIMEOUT_S - 1
+    assert reap_stale_jobs() == 2
+    assert jobs_get("stale")["status"] == "error"
+    assert jobs_get("old")["error"].startswith("hard timeout")
+    assert jobs_get("done")["status"] == "done"
+
+
+def test_workflow_store_patching(tmp_path):
+    graph = {
+        "1": {"class_type": "LoadImage", "inputs": {"image": "x.png"}},
+        "2": {"class_type": "CLIPTextEncode", "inputs": {"text": "old"},
+              "_meta": {"title": "Positive Prompt"}},
+        "3": {"class_type": "CLIPTextEncode", "inputs": {"text": "oldneg"},
+              "_meta": {"title": "Negative Prompt"}},
+        "4": {"class_type": "KSampler",
+              "inputs": {"steps": 20, "cfg": 7.0, "seed": 1,
+                         "denoise": 1.0}},
+    }
+    (tmp_path / "wf.json").write_text(json.dumps(graph))
+    store = WorkflowStore(str(tmp_path))
+    assert store.list_workflows() == ["wf"]
+    prompt = store.make_prompt(
+        "wf",
+        {"prompt": "new", "negative_prompt": "bad", "steps": 4, "seed": 9},
+        image_name="up.png",
+    )
+    assert prompt["1"]["inputs"]["image"] == "up.png"
+    assert prompt["2"]["inputs"]["text"] == "new"
+    assert prompt["3"]["inputs"]["text"] == "bad"
+    assert prompt["4"]["inputs"]["steps"] == 4
+    assert prompt["4"]["inputs"]["seed"] == 9
+    assert prompt["4"]["inputs"]["cfg"] == 7.0  # untouched
+    # original graph not mutated
+    assert store.get("wf").graph["2"]["inputs"]["text"] == "old"
+    with pytest.raises(KeyError):
+        store.get("missing")
+
+
+def test_workflow_link_aware_patch(tmp_path):
+    graph = {
+        "1": {"class_type": "PrimitiveNode", "inputs": {"steps": 30}},
+        "2": {"class_type": "KSampler",
+              "inputs": {"steps": ["1", 0], "cfg": 7.0}},
+    }
+    (tmp_path / "wf.json").write_text(json.dumps(graph))
+    store = WorkflowStore(str(tmp_path))
+    prompt = store.make_prompt("wf", {"steps": 4})
+    assert prompt["1"]["inputs"]["steps"] == 4  # upstream patched
+    assert prompt["2"]["inputs"]["steps"] == ["1", 0]  # link preserved
