@@ -205,3 +205,23 @@ def test_fingerprint_block_mean():
     out = np.frombuffer(latents_to_fingerprint(lat), np.float16).reshape(1, 4, 8, 8)
     want = lat[0].reshape(8, 2, 8, 2, 4).mean(axis=(1, 3)).transpose(2, 0, 1)
     np.testing.assert_allclose(out[0], want.astype(np.float16))
+
+
+def test_native_png_encoder_roundtrip_and_metadata():
+    import io
+    from PIL import Image
+    from dreamlab_tpu.native import encode_png, native_available
+
+    arr = np.random.RandomState(0).randint(0, 255, (48, 40, 3), np.uint8)
+    if native_available():
+        png = encode_png(arr)
+        back = np.asarray(Image.open(io.BytesIO(png)).convert("RGB"))
+        np.testing.assert_array_equal(back, arr)
+        gray = encode_png(arr[:, :, 0])
+        g = np.asarray(Image.open(io.BytesIO(gray)).convert("L"))
+        np.testing.assert_array_equal(g, arr[:, :, 0])
+    # png_encode path (native or PIL) must carry tEXt metadata either way
+    png2 = png_encode(arr, metadata={"parameters": "Steps: 4, Seed: 9"})
+    img = Image.open(io.BytesIO(png2))
+    assert img.text["parameters"] == "Steps: 4, Seed: 9"
+    np.testing.assert_array_equal(np.asarray(img.convert("RGB")), arr)
