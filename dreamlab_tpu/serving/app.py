@@ -78,6 +78,13 @@ class ServerConfig:
         modes = env.get("MODES_CONFIG") or (
             "modes.yaml" if os.path.exists("modes.yaml") else None
         )
+        ui_dist = env.get("UI_DIST")
+        if not ui_dist:
+            candidate = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))), "ui", "dist",
+            )
+            ui_dist = candidate if os.path.isdir(candidate) else None
         return cls(
             modes_config=modes,
             model_path=model_path,
@@ -93,7 +100,7 @@ class ServerConfig:
             sr_queue_max=get("SR_QUEUE_MAX", 32, int),
             sr_timeout=get("SR_TIMEOUT", 120.0, float),
             sr_max_pixels=get("SR_MAX_PIXELS", None, int),
-            ui_dist=env.get("UI_DIST"),
+            ui_dist=ui_dist,
             yume_enabled=env.get("YUME_ENABLED", "0") in ("1", "true", "True"),
             comfy_enabled=env.get("COMFYUI_ENABLED", "0") in ("1", "true", "True"),
             warmup=env.get("WARMUP", "1") not in ("0", "false", "False"),
@@ -374,6 +381,9 @@ async def _startup(app: web.Application):
     def build():
         from .superres_service import SuperResService
         from ..persistence import make_storage_provider_from_env
+        from ..utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
 
         if state.storage is None:
             state.storage = make_storage_provider_from_env()

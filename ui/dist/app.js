@@ -1,0 +1,361 @@
+/* Dream Lab TPU web UI.
+ *
+ * Dependency-free rebuild of the reference's React chat UI
+ * (lcm-sr-ui/): chat-style generation with a params panel, server-side
+ * image keys (X-LCM-Image-Key -> /storage/{key}), multi-backend
+ * round-robin, PNG tEXt parameter restore on drag-drop, superres upload,
+ * mode switching, and a Dreams tab over /dreams/*.
+ */
+"use strict";
+
+// ---------------------------------------------------------------------------
+// API: round-robin over base URLs (reference api.js:77-91)
+// ---------------------------------------------------------------------------
+
+const API_BASES = (window.API_BASES || [""]).slice();
+let rrIndex = 0;
+function apiBase() {
+  const base = API_BASES[rrIndex % API_BASES.length];
+  rrIndex += 1;
+  return base;
+}
+async function api(path, opts) {
+  return fetch(apiBase() + path, opts);
+}
+
+// ---------------------------------------------------------------------------
+// helpers
+// ---------------------------------------------------------------------------
+
+const $ = (id) => document.getElementById(id);
+function el(tag, cls, text) {
+  const e = document.createElement(tag);
+  if (cls) e.className = cls;
+  if (text !== undefined) e.textContent = text;
+  return e;
+}
+function setStatus(msg, isError) {
+  const s = $("status");
+  s.textContent = msg || "";
+  s.classList.toggle("error", !!isError);
+}
+
+// PNG tEXt parser (reference pngMeta.js:66-105)
+function parsePngText(buf) {
+  const dv = new DataView(buf);
+  const out = {};
+  if (dv.getUint32(0) !== 0x89504e47) return out;
+  let off = 8;
+  while (off + 8 <= buf.byteLength) {
+    const len = dv.getUint32(off);
+    const type = String.fromCharCode(
+      dv.getUint8(off + 4), dv.getUint8(off + 5),
+      dv.getUint8(off + 6), dv.getUint8(off + 7));
+    if (type === "tEXt") {
+      const bytes = new Uint8Array(buf, off + 8, len);
+      const zero = bytes.indexOf(0);
+      if (zero > 0) {
+        const dec = new TextDecoder("latin1");
+        out[dec.decode(bytes.subarray(0, zero))] =
+          dec.decode(bytes.subarray(zero + 1));
+      }
+    }
+    if (type === "IEND") break;
+    off += 12 + len;
+  }
+  return out;
+}
+
+// "prompt\nSteps: 4, CFG scale: 1, Seed: 7, Size: 512x512"
+function applyA1111Params(text) {
+  const lines = text.split("\n");
+  $("prompt").value = lines[0] || "";
+  const kv = {};
+  (lines[1] || "").split(",").forEach((part) => {
+    const m = part.split(":");
+    if (m.length === 2) kv[m[0].trim().toLowerCase()] = m[1].trim();
+  });
+  if (kv["steps"]) $("p-steps").value = kv["steps"];
+  if (kv["cfg scale"]) $("p-cfg").value = kv["cfg scale"];
+  if (kv["seed"]) $("p-seed").value = kv["seed"];
+  if (kv["size"]) $("p-size").value = kv["size"];
+}
+
+// ---------------------------------------------------------------------------
+// chat generation
+// ---------------------------------------------------------------------------
+
+function addMessage(kind, content) {
+  const box = el("div", "msg " + kind);
+  if (typeof content === "string") box.append(el("div", "text", content));
+  else box.append(content);
+  $("messages").append(box);
+  box.scrollIntoView({ behavior: "smooth", block: "end" });
+  return box;
+}
+
+function imageCard(blobUrl, meta) {
+  const card = el("figure", "imgcard");
+  const img = el("img");
+  img.src = blobUrl;
+  img.alt = meta.prompt || "generated image";
+  card.append(img);
+  const cap = el("figcaption", "",
+    `seed ${meta.seed ?? "?"} · ${meta.size || ""}` +
+    (meta.key ? " · stored" : ""));
+  card.append(cap);
+  const row = el("div", "cardrow");
+  const again = el("button", "mini", "↻ variation");
+  again.onclick = () => {
+    $("p-seed").value = "";
+    $("prompt").value = meta.prompt || $("prompt").value;
+    generate();
+  };
+  const reuse = el("button", "mini", "use seed");
+  reuse.onclick = () => { $("p-seed").value = meta.seed; };
+  row.append(again, reuse);
+  card.append(row);
+  return card;
+}
+
+let generating = false;
+async function generate() {
+  if (generating) return;
+  const prompt = $("prompt").value.trim();
+  if (!prompt) return;
+  generating = true;
+  $("send").disabled = true;
+  addMessage("user", prompt);
+  const pending = addMessage("bot pending", "dreaming…");
+  const body = {
+    prompt,
+    size: $("p-size").value,
+    num_inference_steps: +$("p-steps").value,
+    guidance_scale: +$("p-cfg").value,
+    superres: $("p-sr").checked,
+    superres_magnitude: +$("p-sr-mag").value,
+  };
+  const seed = $("p-seed").value;
+  if (seed !== "") body.seed = +seed;
+  const style = $("p-style").value;
+  if (style) body.style_lora = { style, level: +$("p-style-level").value || 1 };
+  const mode = $("mode-select").value;
+  if (mode) body.mode = mode;
+  try {
+    const t0 = performance.now();
+    const resp = await api("/generate", {
+      method: "POST",
+      headers: { "Content-Type": "application/json" },
+      body: JSON.stringify(body),
+    });
+    if (!resp.ok) {
+      const err = await resp.text();
+      throw new Error(`${resp.status}: ${err.slice(0, 200)}`);
+    }
+    const blob = await resp.blob();
+    const meta = {
+      prompt,
+      seed: resp.headers.get("X-Seed"),
+      size: body.size,
+      key: resp.headers.get("X-LCM-Image-Key"),
+      ms: Math.round(performance.now() - t0),
+    };
+    pending.replaceChildren(imageCard(URL.createObjectURL(blob), meta));
+    pending.className = "msg bot";
+    pending.append(el("div", "timing", `${meta.ms} ms`));
+    if (meta.key) rememberKey(meta);
+  } catch (e) {
+    pending.replaceChildren(el("div", "text error", "✗ " + e.message));
+    pending.className = "msg bot";
+  } finally {
+    generating = false;
+    $("send").disabled = false;
+  }
+}
+
+// server-key recovery across reloads (reference App.jsx:74-99)
+function rememberKey(meta) {
+  const keys = JSON.parse(localStorage.getItem("imageKeys") || "[]");
+  keys.push({ key: meta.key, prompt: meta.prompt, seed: meta.seed, size: meta.size });
+  localStorage.setItem("imageKeys", JSON.stringify(keys.slice(-20)));
+}
+async function restoreImages() {
+  const keys = JSON.parse(localStorage.getItem("imageKeys") || "[]");
+  for (const meta of keys.slice(-6)) {
+    try {
+      const resp = await api("/storage/" + meta.key);
+      if (!resp.ok) continue;
+      const blob = await resp.blob();
+      addMessage("bot", imageCard(URL.createObjectURL(blob), meta));
+    } catch (e) { /* expired keys are fine */ }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// superres upload
+// ---------------------------------------------------------------------------
+
+async function upscaleFile(file) {
+  setStatus("upscaling…");
+  const form = new FormData();
+  form.append("file", file, file.name);
+  form.append("magnitude", $("p-sr-mag").value);
+  form.append("out_format", "png");
+  try {
+    const resp = await api("/superres", { method: "POST", body: form });
+    if (!resp.ok) throw new Error("HTTP " + resp.status);
+    const blob = await resp.blob();
+    addMessage("bot", imageCard(URL.createObjectURL(blob), {
+      prompt: "superres: " + file.name,
+      seed: "-", size: resp.headers.get("X-SR-Passes") + " passes",
+    }));
+    setStatus("");
+  } catch (e) {
+    setStatus("superres failed: " + e.message, true);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// modes + styles + health
+// ---------------------------------------------------------------------------
+
+async function loadModes() {
+  try {
+    const resp = await api("/api/modes");
+    if (!resp.ok) return;
+    const data = await resp.json();
+    const sel = $("mode-select");
+    sel.replaceChildren(el("option", "", ""));
+    Object.keys(data.modes || {}).forEach((name) => {
+      const o = el("option", "", name);
+      o.value = name;
+      if (name === data.current_mode) o.selected = true;
+      sel.append(o);
+    });
+  } catch (e) { /* legacy backend: no modes */ }
+}
+
+async function pollHealth() {
+  try {
+    const resp = await api("/health");
+    $("health-dot").classList.toggle("ok", resp.ok);
+  } catch (e) {
+    $("health-dot").classList.remove("ok");
+  }
+}
+
+// ---------------------------------------------------------------------------
+// dreams tab
+// ---------------------------------------------------------------------------
+
+let dreamTimer = null;
+async function refreshDreams() {
+  try {
+    const st = await (await api("/dreams/status")).json();
+    $("dream-status").textContent = st.running
+      ? `dreaming… ${st.stats.generated} candidates, ` +
+        `${st.stats.dreams_per_sec.toFixed(1)}/s, ${st.stats.rendered} rendered`
+      : "idle";
+    const top = await (await api("/dreams/top?n=12")).json();
+    const box = $("dream-top");
+    box.replaceChildren();
+    for (const c of top.top || []) {
+      const card = el("div", "dreamcard");
+      if (c.rendered) {
+        const img = el("img");
+        img.src = apiBase() + "/dreams/image/" + c.id;
+        card.append(img);
+      } else {
+        card.append(el("div", "placeholder", "…"));
+      }
+      card.append(el("div", "score", c.score.toFixed(3) + " · seed " + c.seed));
+      card.onclick = () => {
+        $("p-seed").value = c.seed;
+        $("prompt").value = c.prompt;
+        switchTab("chat");
+      };
+      box.append(card);
+    }
+  } catch (e) {
+    $("dream-status").textContent = "dreams unavailable";
+  }
+}
+
+async function startDream() {
+  const prompt = $("dream-prompt").value.trim();
+  if (!prompt) return;
+  await api("/dreams/start", {
+    method: "POST",
+    headers: { "Content-Type": "application/json" },
+    body: JSON.stringify({ prompt, strategy: $("dream-strategy").value }),
+  });
+  refreshDreams();
+}
+async function stopDream() {
+  await api("/dreams/stop", { method: "POST" });
+  refreshDreams();
+}
+
+// ---------------------------------------------------------------------------
+// wiring
+// ---------------------------------------------------------------------------
+
+function switchTab(name) {
+  $("view-chat").hidden = name !== "chat";
+  $("view-dreams").hidden = name !== "dreams";
+  $("tab-chat").classList.toggle("active", name === "chat");
+  $("tab-dreams").classList.toggle("active", name === "dreams");
+  if (name === "dreams") {
+    refreshDreams();
+    if (!dreamTimer) dreamTimer = setInterval(refreshDreams, 3000);
+  } else if (dreamTimer) {
+    clearInterval(dreamTimer);
+    dreamTimer = null;
+  }
+}
+
+window.addEventListener("DOMContentLoaded", () => {
+  $("send").onclick = generate;
+  $("prompt").addEventListener("keydown", (e) => {
+    if (e.key === "Enter" && !e.shiftKey) { e.preventDefault(); generate(); }
+  });
+  $("tab-chat").onclick = () => switchTab("chat");
+  $("tab-dreams").onclick = () => switchTab("dreams");
+  $("dream-start").onclick = startDream;
+  $("dream-stop").onclick = stopDream;
+  $("sr-file").addEventListener("change", (e) => {
+    if (e.target.files[0]) upscaleFile(e.target.files[0]);
+  });
+  $("mode-select").addEventListener("change", async (e) => {
+    if (!e.target.value) return;
+    setStatus("switching mode…");
+    await api("/api/modes/switch", {
+      method: "POST",
+      headers: { "Content-Type": "application/json" },
+      body: JSON.stringify({ mode: e.target.value, wait_seconds: 60 }),
+    });
+    setStatus("");
+  });
+
+  // drag-drop PNG parameter restore (reference useDropIngest.js)
+  const prompt = $("prompt");
+  prompt.addEventListener("dragover", (e) => e.preventDefault());
+  prompt.addEventListener("drop", async (e) => {
+    e.preventDefault();
+    const file = e.dataTransfer.files[0];
+    if (!file) return;
+    const buf = await file.arrayBuffer();
+    const text = parsePngText(buf);
+    if (text.parameters) {
+      applyA1111Params(text.parameters);
+      setStatus("parameters restored from PNG");
+    } else {
+      setStatus("no generation metadata in that PNG", true);
+    }
+  });
+
+  loadModes();
+  pollHealth();
+  setInterval(pollHealth, 10000);
+  restoreImages();
+});
