@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import time
 from functools import partial
 from typing import Any, Dict, List, Optional, Tuple
@@ -144,16 +145,24 @@ class LCMPipeline:
     # traced program
     # ------------------------------------------------------------------
 
-    def _build(self, batch: int, h_lat: int, w_lat: int, steps: int, cfg_mode: str):
+    def _build(self, batch: int, h_lat: int, w_lat: int, steps: int, cfg_mode: str,
+               rng_mode: str):
         """Trace + jit the full txt2img program for one shape bucket.
 
         cfg_mode: 'wcond' (LCM guidance embedding) or 'cfg' (classifier-free
         guidance with doubled batch) or 'none'.
+        rng_mode: 'host' — initial/step noise sampled on host from
+        np.random.RandomState (bit-compatible with the reference's latents,
+        rknnlcm.py:423-447) and shipped to the device; 'device' — noise
+        generated inside the program from the seed (saves the h2d transfer;
+        deterministic per seed on a given backend). The seed/noise are
+        *arguments*, so neither mode recompiles across requests.
         """
         b = self.bundle
         text_cfg, unet_cfg, vae_cfg = b.text_cfg, b.unet_cfg, b.vae_cfg
         is_xl = self.arch == "sdxl"
         text_cfg_2 = b.text_cfg_2
+        lat_c = self.latent_channels
 
         def encode(text_params, text_params_2, ids, ids_2):
             if not is_xl or text_params_2 is None:
@@ -168,6 +177,19 @@ class LCMPipeline:
             ids, ids_neg, ids_2, ids_2_neg,
             latents0, noises, schedule: LCMSchedule, w_emb, guidance, time_ids,
         ):
+            if rng_mode == "device":
+                # latents0 is the scalar seed; noises the init sigma
+                key = jax.random.PRNGKey(latents0.astype(jnp.uint32))
+                lat_key, step_key = jax.random.split(key)
+                init_sigma = noises
+                latents0 = (
+                    jax.random.normal(
+                        lat_key, (batch, h_lat, w_lat, lat_c), jnp.float32
+                    ) * init_sigma
+                )
+                noises = jax.random.normal(
+                    step_key, (steps, batch, h_lat, w_lat, lat_c), jnp.float32
+                )
             ctx, pooled = encode(text_params, text_params_2, ids, ids_2)
             if cfg_mode == "cfg":
                 ctx_neg, pooled_neg = encode(
@@ -224,12 +246,15 @@ class LCMPipeline:
             img_u8 = jnp.round(img * 255.0).astype(jnp.uint8)
             return img_u8, denoised
 
-        return jax.jit(program, donate_argnums=(8, 9))
+        donate = (8, 9) if rng_mode == "host" else ()
+        return jax.jit(program, donate_argnums=donate)
 
-    def _get_compiled(self, batch, h_lat, w_lat, steps, cfg_mode):
-        key = (batch, h_lat, w_lat, steps, cfg_mode)
+    def _get_compiled(self, batch, h_lat, w_lat, steps, cfg_mode, rng_mode="host"):
+        key = (batch, h_lat, w_lat, steps, cfg_mode, rng_mode)
         if key not in self._compiled:
-            self._compiled[key] = self._build(batch, h_lat, w_lat, steps, cfg_mode)
+            self._compiled[key] = self._build(
+                batch, h_lat, w_lat, steps, cfg_mode, rng_mode
+            )
         return self._compiled[key]
 
     # ------------------------------------------------------------------
@@ -260,6 +285,7 @@ class LCMPipeline:
         seed: Optional[int] = None,
         batch: Optional[int] = None,
         latents: Optional[np.ndarray] = None,
+        rng: Optional[str] = None,
     ) -> GenerationResult:
         """Generate images. Returns uint8 [B, H, W, 3] + final latents.
 
@@ -310,16 +336,25 @@ class LCMPipeline:
 
         schedule = self._schedule(num_inference_steps, original_inference_steps)
         h_lat, w_lat = height // self.vae_scale, width // self.vae_scale
-        lat0, noises = self._sample_noise(
-            seed, bsz, h_lat, w_lat, num_inference_steps,
-            schedule.init_noise_sigma,
-        )
+        rng_mode = rng or os.environ.get("DREAMLAB_RNG", "host")
         if latents is not None:
-            # provided latents are raw noise; scale by init sigma exactly as
-            # the reference does (rknnlcm.py:444-447)
-            lat0 = np.asarray(latents, np.float32) * schedule.init_noise_sigma
-            if lat0.shape != (bsz, h_lat, w_lat, self.latent_channels):
-                raise ValueError(f"unexpected latents shape {lat0.shape}")
+            rng_mode = "host"  # explicit latents force the host path
+        if rng_mode == "host":
+            lat0, noises = self._sample_noise(
+                seed, bsz, h_lat, w_lat, num_inference_steps,
+                schedule.init_noise_sigma,
+            )
+            if latents is not None:
+                # provided latents are raw noise; scale by init sigma exactly
+                # as the reference does (rknnlcm.py:444-447)
+                lat0 = np.asarray(latents, np.float32) * schedule.init_noise_sigma
+                if lat0.shape != (bsz, h_lat, w_lat, self.latent_channels):
+                    raise ValueError(f"unexpected latents shape {lat0.shape}")
+        else:
+            # device RNG: the program takes (seed, init_sigma) in the noise
+            # argument slots — no noise h2d at all
+            lat0 = np.int64(seed & 0x7FFFFFFF)
+            noises = np.float32(schedule.init_noise_sigma)
 
         if lcm_mode:
             w = np.full((bsz,), guidance_scale - 1.0)
@@ -337,15 +372,18 @@ class LCMPipeline:
         if self.mesh is not None:
             from .parallel.sharding import data_sharding, replicated
 
+            rep = replicated(self.mesh)
             ds = lambda x, axis=0: jax.device_put(
-                x, data_sharding(self.mesh, np.ndim(x), axis)
+                x, data_sharding(self.mesh, np.ndim(x), axis) if np.ndim(x) else rep
             )
             ids, ids_neg, ids_2, ids_2_neg = map(ds, (ids, ids_neg, ids_2, ids_2_neg))
             lat0, w_emb, time_ids = map(ds, (lat0, w_emb, time_ids))
             noises = ds(noises, 1)
-            schedule = jax.device_put(schedule, replicated(self.mesh))
+            schedule = jax.device_put(schedule, rep)
 
-        fn = self._get_compiled(bsz, h_lat, w_lat, num_inference_steps, cfg_mode)
+        fn = self._get_compiled(
+            bsz, h_lat, w_lat, num_inference_steps, cfg_mode, rng_mode
+        )
         img_u8, denoised = fn(
             self.text_params, self.text_params_2, self.unet_params,
             self.vae_params,

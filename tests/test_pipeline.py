@@ -93,3 +93,18 @@ def test_compile_cache_reuse(pipe):
     assert len(pipe._compiled) == n  # same bucket, no retrace
     pipe.generate("y", height=32, width=48, num_inference_steps=2, seed=1)
     assert len(pipe._compiled) == n + 1
+
+
+def test_device_rng_deterministic(pipe):
+    a = pipe.generate("a cat", height=32, width=32, num_inference_steps=2,
+                      seed=11, rng="device")
+    b = pipe.generate("a cat", height=32, width=32, num_inference_steps=2,
+                      seed=11, rng="device")
+    np.testing.assert_array_equal(a.images, b.images)
+    c = pipe.generate("a cat", height=32, width=32, num_inference_steps=2,
+                      seed=12, rng="device")
+    assert not np.array_equal(a.images, c.images)
+    # host and device modes are different (documented) but both valid
+    h = pipe.generate("a cat", height=32, width=32, num_inference_steps=2,
+                      seed=11, rng="host")
+    assert h.images.shape == a.images.shape
