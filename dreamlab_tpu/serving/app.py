@@ -537,7 +537,14 @@ def create_app(
         register_dream_routes(app)
 
     if cfg.ui_dist and os.path.isdir(cfg.ui_dist):
-        app.router.add_static("/", cfg.ui_dist, show_index=True)
+        index_path = os.path.join(cfg.ui_dist, "index.html")
+
+        async def index(request: web.Request) -> web.FileResponse:
+            return web.FileResponse(index_path)
+
+        if os.path.exists(index_path):
+            app.router.add_get("/", index)
+        app.router.add_static("/", cfg.ui_dist)
 
     if not skip_startup:
         app.on_startup.append(_startup)
