@@ -82,6 +82,17 @@ async def start_job(request: web.Request) -> web.Response:
             text=json.dumps({"detail": "params must be JSON"}),
             content_type="application/json",
         )
+    profile = post.get("profile")
+    if profile:
+        from ..invokers.profiles import resolve_profile
+
+        try:
+            params = resolve_profile(str(profile), params)
+        except KeyError as e:
+            raise web.HTTPBadRequest(
+                text=json.dumps({"detail": str(e)}),
+                content_type="application/json",
+            )
     image = None
     upload = post.get("image")
     if upload is not None and hasattr(upload, "file"):

@@ -267,3 +267,34 @@ def test_workflow_link_aware_patch(tmp_path):
     prompt = store.make_prompt("wf", {"steps": 4})
     assert prompt["1"]["inputs"]["steps"] == 4  # upstream patched
     assert prompt["2"]["inputs"]["steps"] == ["1", 0]  # link preserved
+
+
+def test_workflow_profiles_resolve():
+    from dreamlab_tpu.invokers.profiles import PROFILES, resolve_profile
+
+    assert "subtle-refine" in PROFILES
+    merged = resolve_profile("subtle-refine", {"steps": 2})
+    assert merged["steps"] == 2  # explicit wins
+    assert merged["denoise"] == 0.35  # profile default kept
+    assert resolve_profile(None, {"a": 1}) == {"a": 1}
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        resolve_profile("nope", {})
+
+
+def test_custom_detector_examples(tmp_path):
+    from dreamlab_tpu.utils.custom_detector_examples import make_extended_detector
+    from tests.test_loader import make_tiny_checkpoint
+
+    d = make_tiny_checkpoint(tmp_path / "ckpt")
+    (tmp_path / "ckpt" / "LICENSE").write_text("MIT")
+    info = make_extended_detector().detect(str(tmp_path / "ckpt"))
+    assert info.extra["is_lcm"] is True  # tiny checkpoint sets cond proj
+    assert info.extra["license_file"] == "LICENSE"
+
+
+def test_verify_tpu_smoke():
+    from dreamlab_tpu.utils.verify_tpu import verify_tpu
+
+    assert verify_tpu(verbose=False)
