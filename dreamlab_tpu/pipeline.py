@@ -111,6 +111,9 @@ class LCMPipeline:
         self.text_params_2 = (
             put(bundle.text_params_2) if bundle.text_params_2 else None
         )
+        self.vae_encoder_params = (
+            put(bundle.vae_encoder_params) if bundle.vae_encoder_params else None
+        )
         self._compiled: Dict[Tuple, Any] = {}
         self._schedules: Dict[Tuple[int, Optional[int]], LCMSchedule] = {}
         self.vae_scale = bundle.vae_cfg.scale_factor
@@ -120,11 +123,13 @@ class LCMPipeline:
     # host-side preparation
     # ------------------------------------------------------------------
 
-    def _schedule(self, steps: int, original_steps: Optional[int]) -> LCMSchedule:
-        key = (steps, original_steps)
+    def _schedule(
+        self, steps: int, original_steps: Optional[int], strength: float = 1.0
+    ) -> LCMSchedule:
+        key = (steps, original_steps, strength)
         if key not in self._schedules:
             self._schedules[key] = make_lcm_schedule(
-                self.bundle.scheduler_cfg, steps, original_steps
+                self.bundle.scheduler_cfg, steps, original_steps, strength
             )
         return self._schedules[key]
 
@@ -146,7 +151,7 @@ class LCMPipeline:
     # ------------------------------------------------------------------
 
     def _build(self, batch: int, h_lat: int, w_lat: int, steps: int, cfg_mode: str,
-               rng_mode: str):
+               rng_mode: str, task: str = "txt2img"):
         """Trace + jit the full txt2img program for one shape bucket.
 
         cfg_mode: 'wcond' (LCM guidance embedding) or 'cfg' (classifier-free
@@ -172,30 +177,10 @@ class LCMPipeline:
             seq2, pooled = clip_text.encode_text(text_params_2, ids_2, text_cfg_2)
             return jnp.concatenate([seq1, seq2], axis=-1), pooled
 
-        def program(
-            text_params, text_params_2, unet_params, vae_params,
-            ids, ids_neg, ids_2, ids_2_neg,
+        def denoise_decode(
+            unet_params, vae_params, ctx, pooled, ctx_neg, pooled_neg,
             latents0, noises, schedule: LCMSchedule, w_emb, guidance, time_ids,
         ):
-            if rng_mode == "device":
-                # latents0 is the scalar seed; noises the init sigma
-                key = jax.random.PRNGKey(latents0.astype(jnp.uint32))
-                lat_key, step_key = jax.random.split(key)
-                init_sigma = noises
-                latents0 = (
-                    jax.random.normal(
-                        lat_key, (batch, h_lat, w_lat, lat_c), jnp.float32
-                    ) * init_sigma
-                )
-                noises = jax.random.normal(
-                    step_key, (steps, batch, h_lat, w_lat, lat_c), jnp.float32
-                )
-            ctx, pooled = encode(text_params, text_params_2, ids, ids_2)
-            if cfg_mode == "cfg":
-                ctx_neg, pooled_neg = encode(
-                    text_params, text_params_2, ids_neg, ids_2_neg
-                )
-
             added_kw = {}
             if is_xl:
                 added_kw = dict(added_text_embeds=pooled, added_time_ids=time_ids)
@@ -246,14 +231,79 @@ class LCMPipeline:
             img_u8 = jnp.round(img * 255.0).astype(jnp.uint8)
             return img_u8, denoised
 
+        def encode_both(text_params, text_params_2, ids, ids_neg, ids_2, ids_2_neg):
+            ctx, pooled = encode(text_params, text_params_2, ids, ids_2)
+            ctx_neg = pooled_neg = None
+            if cfg_mode == "cfg":
+                ctx_neg, pooled_neg = encode(
+                    text_params, text_params_2, ids_neg, ids_2_neg
+                )
+            return ctx, pooled, ctx_neg, pooled_neg
+
+        if task == "img2img":
+
+            def program_i2i(
+                text_params, text_params_2, unet_params, vae_params,
+                vae_enc_params,
+                ids, ids_neg, ids_2, ids_2_neg,
+                image, eps_post, noise0, noises,
+                schedule: LCMSchedule, w_emb, guidance, time_ids,
+            ):
+                ctx, pooled, ctx_neg, pooled_neg = encode_both(
+                    text_params, text_params_2, ids, ids_neg, ids_2, ids_2_neg
+                )
+                moments = vae.encode_moments(vae_enc_params, vae_cfg, image)
+                mean = moments[..., :lat_c]
+                logvar = jnp.clip(moments[..., lat_c:], -30.0, 20.0)
+                x0 = (mean + jnp.exp(0.5 * logvar) * eps_post)
+                x0 = x0 * vae_cfg.scaling_factor
+                # renoise to the strength-truncated ladder's first timestep
+                lat0 = (
+                    schedule.sqrt_alpha_prod[0] * x0
+                    + schedule.sqrt_beta_prod[0] * noise0
+                )
+                return denoise_decode(
+                    unet_params, vae_params, ctx, pooled, ctx_neg, pooled_neg,
+                    lat0, noises, schedule, w_emb, guidance, time_ids,
+                )
+
+            return jax.jit(program_i2i, donate_argnums=(11, 12, 13))
+
+        def program(
+            text_params, text_params_2, unet_params, vae_params,
+            ids, ids_neg, ids_2, ids_2_neg,
+            latents0, noises, schedule: LCMSchedule, w_emb, guidance, time_ids,
+        ):
+            if rng_mode == "device":
+                # latents0 is the scalar seed; noises the init sigma
+                key = jax.random.PRNGKey(latents0.astype(jnp.uint32))
+                lat_key, step_key = jax.random.split(key)
+                init_sigma = noises
+                latents0 = (
+                    jax.random.normal(
+                        lat_key, (batch, h_lat, w_lat, lat_c), jnp.float32
+                    ) * init_sigma
+                )
+                noises = jax.random.normal(
+                    step_key, (steps, batch, h_lat, w_lat, lat_c), jnp.float32
+                )
+            ctx, pooled, ctx_neg, pooled_neg = encode_both(
+                text_params, text_params_2, ids, ids_neg, ids_2, ids_2_neg
+            )
+            return denoise_decode(
+                unet_params, vae_params, ctx, pooled, ctx_neg, pooled_neg,
+                latents0, noises, schedule, w_emb, guidance, time_ids,
+            )
+
         donate = (8, 9) if rng_mode == "host" else ()
         return jax.jit(program, donate_argnums=donate)
 
-    def _get_compiled(self, batch, h_lat, w_lat, steps, cfg_mode, rng_mode="host"):
-        key = (batch, h_lat, w_lat, steps, cfg_mode, rng_mode)
+    def _get_compiled(self, batch, h_lat, w_lat, steps, cfg_mode,
+                      rng_mode="host", task="txt2img"):
+        key = (batch, h_lat, w_lat, steps, cfg_mode, rng_mode, task)
         if key not in self._compiled:
             self._compiled[key] = self._build(
-                batch, h_lat, w_lat, steps, cfg_mode, rng_mode
+                batch, h_lat, w_lat, steps, cfg_mode, rng_mode, task
             )
         return self._compiled[key]
 
@@ -399,6 +449,111 @@ class LCMPipeline:
             images=images,
             seed=seed,
             latents=final_latents,
+            timings={
+                "prep": t_prep - t_start,
+                "device": t_done - t_prep,
+                "total": t_done - t_start,
+            },
+        )
+
+    def img2img(
+        self,
+        prompt,
+        init_image: np.ndarray,
+        *,
+        strength: float = 0.5,
+        num_inference_steps: int = 4,
+        original_inference_steps: Optional[int] = None,
+        guidance_scale: float = 1.0,
+        negative_prompt: Optional[str] = None,
+        seed: Optional[int] = None,
+    ) -> GenerationResult:
+        """Image-to-image: VAE-encode → renoise to the strength-truncated
+        LCM ladder → denoise → decode, one XLA program.
+
+        init_image: [H, W, 3] uint8 (or [B, H, W, 3]); H/W set the output
+        size and must satisfy the same divisibility rule as txt2img.
+        strength ∈ (0, 1]: fraction of the trained ladder to traverse
+        (diffusers img2img semantics) — 1.0 ≈ full txt2img noise.
+        """
+        if self.vae_encoder_params is None:
+            raise ValueError("checkpoint has no VAE encoder weights")
+        if not 0.0 < strength <= 1.0:
+            raise ValueError("strength must be in (0, 1]")
+        img = np.asarray(init_image)
+        if img.ndim == 3:
+            img = img[None]
+        bsz, height, width, _ = img.shape
+        divisor = self.vae_scale * 2 ** (self.bundle.unet_cfg.num_blocks - 1)
+        if height % divisor or width % divisor:
+            raise ValueError(f"image dims must be multiples of {divisor}")
+        prompts = [prompt] * bsz if isinstance(prompt, str) else list(prompt)
+        if seed is None:
+            seed = int(np.random.randint(0, 2**31 - 1))
+
+        b = self.bundle
+        t_start = time.time()
+        lcm_mode = b.unet_cfg.time_cond_proj_dim is not None
+        cfg_mode = (
+            "wcond" if lcm_mode else ("cfg" if guidance_scale > 1.0 else "none")
+        )
+        ids = jnp.asarray(b.tokenizer(prompts))
+        negs = [negative_prompt or ""] * bsz
+        ids_neg = jnp.asarray(b.tokenizer(negs)) if cfg_mode == "cfg" else ids
+        if self.arch == "sdxl" and b.tokenizer_2 is not None:
+            ids_2 = jnp.asarray(b.tokenizer_2(prompts))
+            ids_2_neg = (
+                jnp.asarray(b.tokenizer_2(negs)) if cfg_mode == "cfg" else ids_2
+            )
+        else:
+            ids_2 = ids_2_neg = ids
+
+        schedule = self._schedule(
+            num_inference_steps, original_inference_steps, strength
+        )
+        h_lat, w_lat = height // self.vae_scale, width // self.vae_scale
+        rs = np.random.RandomState(seed & 0x7FFFFFFF)
+        c = self.latent_channels
+        shape = (bsz, c, h_lat, w_lat)
+        eps_post = rs.randn(*shape).astype(np.float32).transpose(0, 2, 3, 1)
+        noise0 = rs.randn(*shape).astype(np.float32).transpose(0, 2, 3, 1)
+        noises = (
+            rs.randn(num_inference_steps, *shape)
+            .astype(np.float32).transpose(0, 1, 3, 4, 2)
+        )
+        image_f = (img.astype(np.float32) / 255.0) * 2.0 - 1.0
+
+        if lcm_mode:
+            w_emb = guidance_scale_embedding(
+                np.full((bsz,), guidance_scale - 1.0),
+                b.unet_cfg.time_cond_proj_dim,
+            )
+        else:
+            w_emb = jnp.zeros((bsz, 1), jnp.float32)
+        time_ids = jnp.asarray(
+            [[height, width, 0, 0, height, width]] * bsz, jnp.float32
+        )
+        t_prep = time.time()
+
+        fn = self._get_compiled(
+            bsz, h_lat, w_lat, num_inference_steps, cfg_mode, "host", "img2img"
+        )
+        img_u8, denoised = fn(
+            self.text_params, self.text_params_2, self.unet_params,
+            self.vae_params, self.vae_encoder_params,
+            ids, ids_neg, ids_2, ids_2_neg,
+            jnp.asarray(np.ascontiguousarray(image_f)),
+            jnp.asarray(np.ascontiguousarray(eps_post)),
+            jnp.asarray(np.ascontiguousarray(noise0)),
+            jnp.asarray(np.ascontiguousarray(noises)),
+            schedule, w_emb, jnp.float32(guidance_scale), time_ids,
+        )
+        images = np.asarray(jax.block_until_ready(img_u8))
+        t_done = time.time()
+        return GenerationResult(
+            images=images,
+            seed=seed,
+            latents=np.asarray(denoised),
             timings={
                 "prep": t_prep - t_start,
                 "device": t_done - t_prep,

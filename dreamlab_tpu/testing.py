@@ -42,6 +42,7 @@ def random_bundle(arch: str = "sd15", *, tiny: bool = False, seed: int = 0) -> P
             vae_cfg=vae_cfg,
             vae_params=vae.init_decoder_params(vae_cfg, rng),
             scheduler_cfg=LCMConfig(),
+            vae_encoder_params=vae.init_encoder_params(vae_cfg, rng),
         )
     if arch == "sdxl":
         unet_cfg = configs.TINY_UNET_XL if tiny else configs.SDXL_UNET

@@ -184,14 +184,36 @@ def detect_model(path: str) -> ModelInfo:
     return ModelDetector().detect(path)
 
 
+def scan_directory(root: str) -> list:
+    """Classify every candidate under a directory (the reference's
+    detect_model_type.py --scan behavior)."""
+    results = []
+    for entry in sorted(os.listdir(root)):
+        path = os.path.join(root, entry)
+        try:
+            if os.path.isdir(path) and os.path.exists(
+                os.path.join(path, "unet", "config.json")
+            ):
+                results.append(detect_model(path))
+            elif path.endswith((".safetensors",)):
+                results.append(detect_model(path))
+        except DetectionError:
+            continue
+    return results
+
+
 def main(argv=None):  # pragma: no cover - CLI convenience
     import argparse
 
-    p = argparse.ArgumentParser(description="classify a model checkpoint")
-    p.add_argument("paths", nargs="+")
+    p = argparse.ArgumentParser(description="classify model checkpoints")
+    p.add_argument("paths", nargs="*")
+    p.add_argument("--scan", action="append", default=[],
+                   help="scan a directory of checkpoints")
     args = p.parse_args(argv)
-    for path in args.paths:
-        info = detect_model(path)
+    infos = [detect_model(path) for path in args.paths]
+    for root in args.scan:
+        infos.extend(scan_directory(root))
+    for info in infos:
         print(json.dumps(dataclasses.asdict(info), indent=2, default=str))
 
 

@@ -134,6 +134,38 @@ def export_vae_decoder(params, cfg):
     return out
 
 
+def export_vae_encoder(params, cfg):
+    out = {}
+    _put_conv(out, "encoder.conv_in", params["conv_in"])
+
+    def put_resnet(key, p):
+        _put_norm(out, key + ".norm1", p["norm1"])
+        _put_conv(out, key + ".conv1", p["conv1"])
+        _put_norm(out, key + ".norm2", p["norm2"])
+        _put_conv(out, key + ".conv2", p["conv2"])
+        if "shortcut" in p:
+            _put_conv(out, key + ".conv_shortcut", p["shortcut"])
+
+    for i, block in enumerate(params["down"]):
+        for j, res in enumerate(block["resnets"]):
+            put_resnet(f"encoder.down_blocks.{i}.resnets.{j}", res)
+        if "downsample" in block:
+            _put_conv(out, f"encoder.down_blocks.{i}.downsamplers.0.conv",
+                      block["downsample"])
+    put_resnet("encoder.mid_block.resnets.0", params["mid"]["resnet1"])
+    put_resnet("encoder.mid_block.resnets.1", params["mid"]["resnet2"])
+    a = params["mid"]["attention"]
+    _put_norm(out, "encoder.mid_block.attentions.0.group_norm", a["norm"])
+    _put_linear(out, "encoder.mid_block.attentions.0.to_q", a["q"])
+    _put_linear(out, "encoder.mid_block.attentions.0.to_k", a["k"])
+    _put_linear(out, "encoder.mid_block.attentions.0.to_v", a["v"])
+    _put_linear(out, "encoder.mid_block.attentions.0.to_out.0", a["out"])
+    _put_norm(out, "encoder.conv_norm_out", params["norm_out"])
+    _put_conv(out, "encoder.conv_out", params["conv_out"])
+    _put_conv(out, "quant_conv", params["quant_conv"])
+    return out
+
+
 def export_clip(params, cfg):
     out = {}
     pre = "text_model."
@@ -289,7 +321,9 @@ def make_tiny_checkpoint(root, arch="sd15"):
             "latent_channels": 4, "scaling_factor": 0.18215,
         }, f)
     vparams = vae.init_decoder_params(vae_cfg, np.random.RandomState(1))
-    save_file(export_vae_decoder(vparams, vae_cfg),
+    veparams = vae.init_encoder_params(vae_cfg, np.random.RandomState(3))
+    save_file({**export_vae_decoder(vparams, vae_cfg),
+               **export_vae_encoder(veparams, vae_cfg)},
               os.path.join(root, "vae", "diffusion_pytorch_model.safetensors"))
 
     tok = make_test_tokenizer(["cat", "dog", "sunset"])

@@ -17,7 +17,7 @@ from tests.test_loader import make_tiny_checkpoint
 @pytest.fixture(scope="module")
 def pipe(tmp_path_factory):
     d = make_tiny_checkpoint(tmp_path_factory.mktemp("ckpt") / "m")
-    bundle = loader.load_pipeline(d)
+    bundle = loader.load_pipeline(d, load_vae_encoder=True)
     # fp32 on CPU: deterministic and exercises the default test tier
     return LCMPipeline(bundle, dtype=jnp.float32)
 
@@ -108,3 +108,35 @@ def test_device_rng_deterministic(pipe):
     h = pipe.generate("a cat", height=32, width=32, num_inference_steps=2,
                       seed=11, rng="host")
     assert h.images.shape == a.images.shape
+
+
+def test_img2img_basic(pipe):
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 255, (32, 32, 3), np.uint8)
+    res = pipe.img2img("a cat", img, strength=0.5, num_inference_steps=2, seed=3)
+    assert res.images.shape == (1, 32, 32, 3)
+    assert res.images.dtype == np.uint8
+    # deterministic
+    res2 = pipe.img2img("a cat", img, strength=0.5, num_inference_steps=2, seed=3)
+    np.testing.assert_array_equal(res.images, res2.images)
+    # strength changes the trajectory
+    res3 = pipe.img2img("a cat", img, strength=1.0, num_inference_steps=2, seed=3)
+    assert not np.array_equal(res.images, res3.images)
+
+
+def test_img2img_strength_truncates_ladder(pipe):
+    """Lower strength starts from an earlier (less noisy) timestep — the
+    diffusers img2img semantics at the scheduler level."""
+    lo = pipe._schedule(2, None, 0.1)
+    hi = pipe._schedule(2, None, 1.0)
+    assert int(lo.timesteps[0]) < int(hi.timesteps[0])
+    # and the noising coefficient at entry is correspondingly smaller
+    assert float(lo.sqrt_beta_prod[0]) < float(hi.sqrt_beta_prod[0])
+
+
+def test_img2img_validation(pipe):
+    img = np.zeros((32, 32, 3), np.uint8)
+    with pytest.raises(ValueError):
+        pipe.img2img("x", img, strength=0.0)
+    with pytest.raises(ValueError):
+        pipe.img2img("x", np.zeros((30, 32, 3), np.uint8))
