@@ -191,6 +191,80 @@ class TPUPipelineWorker:
         return png, res.seed, latents_to_fingerprint(res.latents)
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def batchable(a: GenSpec, b: GenSpec) -> bool:
+        """Specs that can share one compiled call: same shape bucket,
+        schedule, guidance mode, and style."""
+        return (
+            a.size == b.size
+            and a.num_inference_steps == b.num_inference_steps
+            and a.original_inference_steps == b.original_inference_steps
+            and a.guidance_scale == b.guidance_scale
+            and (a.negative_prompt or "") == (b.negative_prompt or "")
+            and (a.style, a.style_level) == (b.style, b.style_level)
+        )
+
+    def run_jobs(self, specs) -> list:
+        """Coalesced execution: one batched XLA call for N compatible specs.
+
+        Per-request determinism is preserved — each row's initial latents
+        and step noises are sampled from that request's own seed, exactly as
+        a solo run would (so batching never changes anyone's image).
+        Returns [(png, seed), ...] in input order.
+        """
+        if len(specs) == 1:
+            return [self.run_job(specs[0])]
+        first = specs[0]
+        assert all(self.batchable(first, s) for s in specs[1:])
+        width, height = first.dims()
+        seeds = [
+            s.seed if s.seed is not None else int(np.random.randint(0, 2**31 - 1))
+            for s in specs
+        ]
+        pipe = self.pipeline
+        h_lat = height // pipe.vae_scale
+        w_lat = width // pipe.vae_scale
+        steps = first.num_inference_steps
+        lats, noises = [], []
+        for seed in seeds:
+            l, n = pipe._sample_noise(seed, 1, h_lat, w_lat, steps, 1.0)
+            lats.append(l[0])
+            noises.append(n[:, 0])
+        lat0 = np.stack(lats)  # [B, h, w, c] (pre-sigma; generate rescales)
+        step_noises = np.stack(noises, axis=1)  # [S, B, h, w, c]
+
+        with self._lock:
+            self._apply_style(first.style, first.style_level)
+            try:
+                res = pipe.generate(
+                    [s.prompt for s in specs],
+                    height=height, width=width,
+                    num_inference_steps=steps,
+                    original_inference_steps=first.original_inference_steps,
+                    guidance_scale=first.guidance_scale,
+                    negative_prompt=first.negative_prompt,
+                    seed=seeds[0],
+                    latents=lat0,
+                    step_noises=step_noises,
+                )
+            finally:
+                self._apply_style(None, 0)
+        out = []
+        for i, (spec, seed) in enumerate(zip(specs, seeds)):
+            png = png_encode(
+                res.images[i],
+                metadata={
+                    "parameters": (
+                        f"{spec.prompt}\nSteps: {steps}, "
+                        f"CFG scale: {spec.guidance_scale}, Seed: {seed}, "
+                        f"Size: {spec.size}"
+                    )
+                },
+            )
+            out.append((png, seed))
+        return out
+
+    # ------------------------------------------------------------------
     def close(self):
         self.pipeline = None
         self._base_unet_params = None

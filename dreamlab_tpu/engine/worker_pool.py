@@ -106,15 +106,25 @@ class WorkerPool:
         mode_config=None,
         registry=None,
         load_default: bool = True,
+        max_batch: Optional[int] = None,
     ):
         """worker_factory(worker_id, model_path) -> PipelineWorker.
 
         All three collaborators are injectable for tests (the reference
         documents the same seam, worker_pool.py:165-168).
+
+        max_batch: coalesce up to N adjacent compatible generation jobs into
+        one batched device call (worker must expose run_jobs/batchable).
+        Strictly FIFO: scanning stops at the first non-batchable job.
         """
+        import os
+
         from .mode_config import get_mode_config
         from .model_registry import get_model_registry
 
+        self.max_batch = max_batch if max_batch is not None else int(
+            os.environ.get("DREAMLAB_MAX_BATCH", "4")
+        )
         self.queue: "queue.Queue[Optional[Job]]" = queue.Queue(maxsize=queue_max)
         self.mode_config = mode_config or get_mode_config()
         self.registry = registry or get_model_registry()
@@ -181,15 +191,65 @@ class WorkerPool:
         )
         self._thread.start()
 
-    def _worker_loop(self):
-        while not self._shutdown.is_set():
+    def _can_batch(self, job: Job) -> bool:
+        return (
+            isinstance(job, GenerationJob)
+            and not job.with_latents
+            and self.max_batch > 1
+            and hasattr(self.worker, "run_jobs")
+            and hasattr(self.worker, "batchable")
+        )
+
+    def _collect_batch(self, first: GenerationJob, pending: list) -> list:
+        """Greedily coalesce adjacent compatible jobs; stop at the first
+        incompatible one so FIFO semantics (incl. the mode-switch ordering
+        guarantee) hold."""
+        batch = [first]
+        while len(batch) < self.max_batch:
             try:
-                job = self.queue.get(timeout=0.25)
+                nxt = self.queue.get_nowait()
             except queue.Empty:
-                continue
-            if job is None:
-                self.queue.task_done()
                 break
+            self.queue.task_done()
+            if (
+                nxt is not None
+                and isinstance(nxt, GenerationJob)
+                and not nxt.with_latents
+                and self.worker.batchable(first.spec, nxt.spec)
+            ):
+                batch.append(nxt)
+            else:
+                pending.append(nxt)
+                break
+        return batch
+
+    def _worker_loop(self):
+        pending: list = []
+        while not self._shutdown.is_set():
+            if pending:
+                job = pending.pop(0)
+            else:
+                try:
+                    job = self.queue.get(timeout=0.25)
+                except queue.Empty:
+                    continue
+                self.queue.task_done()
+            if job is None:
+                break
+
+            if self._can_batch(job):
+                batch = self._collect_batch(job, pending)
+                if len(batch) > 1:
+                    try:
+                        results = self.worker.run_jobs([j.spec for j in batch])
+                        for j, r in zip(batch, results):
+                            j.future.set_result(r)
+                    except Exception as e:
+                        logger.exception("batched jobs failed")
+                        for j in batch:
+                            j.future.set_exception(e)
+                    continue
+
             try:
                 if job.job_type is JobType.MODE_SWITCH:
                     if job.target_mode == self.current_mode:
@@ -204,8 +264,6 @@ class WorkerPool:
             except Exception as e:  # fail only this job
                 logger.exception("job %s failed", job.job_id)
                 job.future.set_exception(e)
-            finally:
-                self.queue.task_done()
 
     # ------------------------------------------------------------------
     def submit_job(self, job: Job) -> Future:

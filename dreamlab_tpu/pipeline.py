@@ -335,6 +335,7 @@ class LCMPipeline:
         seed: Optional[int] = None,
         batch: Optional[int] = None,
         latents: Optional[np.ndarray] = None,
+        step_noises: Optional[np.ndarray] = None,
         rng: Optional[str] = None,
     ) -> GenerationResult:
         """Generate images. Returns uint8 [B, H, W, 3] + final latents.
@@ -387,8 +388,8 @@ class LCMPipeline:
         schedule = self._schedule(num_inference_steps, original_inference_steps)
         h_lat, w_lat = height // self.vae_scale, width // self.vae_scale
         rng_mode = rng or os.environ.get("DREAMLAB_RNG", "host")
-        if latents is not None:
-            rng_mode = "host"  # explicit latents force the host path
+        if latents is not None or step_noises is not None:
+            rng_mode = "host"  # explicit noise forces the host path
         if rng_mode == "host":
             lat0, noises = self._sample_noise(
                 seed, bsz, h_lat, w_lat, num_inference_steps,
@@ -400,6 +401,16 @@ class LCMPipeline:
                 lat0 = np.asarray(latents, np.float32) * schedule.init_noise_sigma
                 if lat0.shape != (bsz, h_lat, w_lat, self.latent_channels):
                     raise ValueError(f"unexpected latents shape {lat0.shape}")
+            if step_noises is not None:
+                # explicit per-row step noise: keeps each batched request's
+                # trajectory identical to its solo run (request coalescing)
+                noises = np.asarray(step_noises, np.float32)
+                want = (num_inference_steps, bsz, h_lat, w_lat,
+                        self.latent_channels)
+                if noises.shape != want:
+                    raise ValueError(
+                        f"unexpected step_noises shape {noises.shape}; want {want}"
+                    )
         else:
             # device RNG: the program takes (seed, init_sigma) in the noise
             # argument slots — no noise h2d at all

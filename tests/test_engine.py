@@ -330,3 +330,65 @@ def test_file_watcher_detects_change(tmp_path):
         assert fired.wait(2.0)
     finally:
         w.stop()
+
+
+class BatchingFakeWorker(FakeWorker):
+    def __init__(self, *a):
+        super().__init__(*a)
+        self.batch_calls = []
+
+    @staticmethod
+    def batchable(a, b):
+        return a.size == b.size and a.num_inference_steps == b.num_inference_steps
+
+    def run_jobs(self, specs):
+        self.batch_calls.append(len(specs))
+        return [self.run_job(s) for s in specs]
+
+
+def test_pool_coalesces_compatible_jobs(tmp_path):
+    cfg = ModeConfigManager(write_modes_yaml(tmp_path / "m.yaml", modes=("a",)))
+    reg = ModelRegistry(total_hbm_bytes=1 << 30)
+    workers = []
+
+    def factory(i, path):
+        w = BatchingFakeWorker(i, path)
+        workers.append(w)
+        return w
+
+    pool = WorkerPool(queue_max=16, worker_factory=factory, mode_config=cfg,
+                      registry=reg, max_batch=4)
+    try:
+        # stall the worker so jobs pile up
+        gate = threading.Event()
+        pool.submit_job(CustomJob(lambda w: gate.wait(5)))
+        time.sleep(0.1)
+        futs = [
+            pool.submit_job(GenerationJob(GenSpec(prompt=f"p{i}", size="32x32",
+                                                  num_inference_steps=2, seed=i)))
+            for i in range(3)
+        ]
+        # incompatible job right after: must NOT join the batch
+        odd = pool.submit_job(GenerationJob(GenSpec(prompt="odd", size="64x64",
+                                                    num_inference_steps=2, seed=9)))
+        gate.set()
+        for f in futs:
+            f.result(timeout=5)
+        odd.result(timeout=5)
+        w = workers[0]
+        assert 3 in w.batch_calls  # the three compatible jobs coalesced
+        # the odd job ran solo, after the batch
+        assert w.jobs[-1].prompt == "odd"
+    finally:
+        pool.shutdown(drain=False, timeout=1)
+
+
+def test_pool_batching_disabled_for_plain_worker(pool):
+    """FakeWorker has no run_jobs: the pool must fall back to solo path."""
+    futs = [
+        pool.submit_job(GenerationJob(GenSpec(prompt=f"p{i}", size="32x32",
+                                              num_inference_steps=2, seed=i)))
+        for i in range(3)
+    ]
+    for f in futs:
+        f.result(timeout=5)

@@ -225,3 +225,30 @@ def test_native_png_encoder_roundtrip_and_metadata():
     img = Image.open(io.BytesIO(png2))
     assert img.text["parameters"] == "Steps: 4, Seed: 9"
     np.testing.assert_array_equal(np.asarray(img.convert("RGB")), arr)
+
+
+def test_run_jobs_batched_matches_solo(worker):
+    specs = [
+        GenSpec(prompt=p, size="32x32", num_inference_steps=2, seed=s)
+        for p, s in [("a cat", 11), ("a dog", 22), ("a sunset", 33)]
+    ]
+    solo = [worker.run_job(GenSpec(**vars(s))) for s in specs]
+    batched = worker.run_jobs(specs)
+    assert len(batched) == 3
+    for (png_b, seed_b), (png_s, seed_s) in zip(batched, solo):
+        assert seed_b == seed_s
+        assert png_b == png_s  # byte-identical: batching never changes images
+
+
+def test_batchable_predicate():
+    from dreamlab_tpu.engine.tpu_worker import TPUPipelineWorker as W
+
+    a = GenSpec(prompt="x", size="32x32", num_inference_steps=2)
+    assert W.batchable(a, GenSpec(prompt="y", size="32x32", num_inference_steps=2))
+    assert not W.batchable(a, GenSpec(prompt="y", size="64x64", num_inference_steps=2))
+    assert not W.batchable(a, GenSpec(prompt="y", size="32x32", num_inference_steps=4))
+    assert not W.batchable(a, GenSpec(prompt="y", size="32x32",
+                                      num_inference_steps=2, guidance_scale=3.0))
+    assert not W.batchable(a, GenSpec(prompt="y", size="32x32",
+                                      num_inference_steps=2, style="anime",
+                                      style_level=2))
