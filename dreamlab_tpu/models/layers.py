@@ -87,6 +87,28 @@ def silu(x):
     return jax.nn.silu(x)
 
 
+def group_norm_silu(params, x, *, groups: int = 32, eps: float = 1e-5):
+    """GroupNorm → SiLU, the UNet/VAE resnet prologue.
+
+    With ``DREAMLAB_FUSED_GROUPNORM=1`` on TPU this dispatches to the Pallas
+    fused kernel (ops/groupnorm.py); measured at parity with XLA's fusion on
+    v5e, kept as the tuning surface for conv-epilogue fusion.
+    """
+    import os
+
+    if (
+        os.environ.get("DREAMLAB_FUSED_GROUPNORM") == "1"
+        and x.ndim == 4
+        and jax.default_backend() == "tpu"
+    ):
+        from ..ops.groupnorm import fused_group_norm_silu
+
+        return fused_group_norm_silu(
+            x, params["scale"], params["bias"], groups=groups, eps=eps
+        )
+    return silu(group_norm(params, x, groups=groups, eps=eps))
+
+
 def quick_gelu(x):
     """CLIP's activation: x * sigmoid(1.702 x)."""
     return x * jax.nn.sigmoid(1.702 * x)

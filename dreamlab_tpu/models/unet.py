@@ -34,6 +34,7 @@ from .layers import (
     conv2d,
     geglu,
     group_norm,
+    group_norm_silu,
     init_conv,
     init_linear,
     init_norm,
@@ -52,10 +53,10 @@ from .layers import (
 
 def _resnet(p, x, emb, *, groups):
     """ResnetBlock2D: GN→SiLU→conv, +time, GN→SiLU→conv, +skip."""
-    h = conv2d(p["conv1"], silu(group_norm(p["norm1"], x, groups=groups)))
+    h = conv2d(p["conv1"], group_norm_silu(p["norm1"], x, groups=groups))
     t = linear(p["time_emb_proj"], silu(emb))
     h = h + t[:, None, None, :].astype(h.dtype)
-    h = conv2d(p["conv2"], silu(group_norm(p["norm2"], h, groups=groups)))
+    h = conv2d(p["conv2"], group_norm_silu(p["norm2"], h, groups=groups))
     if "shortcut" in p:
         x = conv2d(p["shortcut"], x)
     return x + h
@@ -188,7 +189,7 @@ def forward(
         if "upsample" in block:
             x = conv2d(block["upsample"], nearest_upsample(x))
 
-    x = silu(group_norm(params["norm_out"], x, groups=cfg.norm_groups))
+    x = group_norm_silu(params["norm_out"], x, groups=cfg.norm_groups)
     x = conv2d(params["conv_out"], x)
     return x.astype(jnp.float32)
 

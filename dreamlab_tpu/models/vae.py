@@ -23,6 +23,7 @@ from .configs import VAEConfig
 from .layers import (
     conv2d,
     group_norm,
+    group_norm_silu,
     init_conv,
     init_norm,
     linear,
@@ -32,8 +33,8 @@ from .layers import (
 
 
 def _resnet(p, x, *, groups):
-    h = conv2d(p["conv1"], silu(group_norm(p["norm1"], x, groups=groups)))
-    h = conv2d(p["conv2"], silu(group_norm(p["norm2"], h, groups=groups)))
+    h = conv2d(p["conv1"], group_norm_silu(p["norm1"], x, groups=groups))
+    h = conv2d(p["conv2"], group_norm_silu(p["norm2"], h, groups=groups))
     if "shortcut" in p:
         x = conv2d(p["shortcut"], x)
     return x + h
@@ -72,7 +73,7 @@ def decode(params, cfg: VAEConfig, latents: jnp.ndarray) -> jnp.ndarray:
             x = _resnet(res, x, groups=cfg.norm_groups)
         if "upsample" in block:
             x = conv2d(block["upsample"], nearest_upsample(x))
-    x = silu(group_norm(params["norm_out"], x, groups=cfg.norm_groups))
+    x = group_norm_silu(params["norm_out"], x, groups=cfg.norm_groups)
     x = conv2d(params["conv_out"], x)
     return x.astype(jnp.float32)
 

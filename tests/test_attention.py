@@ -60,3 +60,34 @@ def test_dispatcher_falls_back_off_tpu():
     q, k, v = _rand_qkv(rs, 1, 256, 256, 2, 40)
     out = dot_product_attention(q, k, v)  # auto → xla on CPU
     assert out.shape == q.shape
+
+
+@pytest.mark.parametrize("shape,groups", [((2, 8, 8, 32), 8), ((1, 16, 12, 64), 16)])
+def test_fused_groupnorm_matches_reference(shape, groups):
+    from dreamlab_tpu.models.layers import group_norm, silu
+    from dreamlab_tpu.ops.groupnorm import fused_group_norm_silu
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(*shape), jnp.float32)
+    scale = jnp.asarray(rs.randn(shape[-1]), jnp.float32)
+    bias = jnp.asarray(rs.randn(shape[-1]), jnp.float32)
+    want = silu(group_norm({"scale": scale, "bias": bias}, x, groups=groups))
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_group_norm_silu(x, scale, bias, groups=groups, tile=32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_fused_groupnorm_padding_path():
+    from dreamlab_tpu.models.layers import group_norm
+    from dreamlab_tpu.ops.groupnorm import fused_group_norm_silu
+
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(1, 5, 3, 16), jnp.float32)  # 15 rows, tile 8
+    scale = jnp.ones((16,), jnp.float32)
+    bias = jnp.zeros((16,), jnp.float32)
+    want = group_norm({"scale": scale, "bias": bias}, x, groups=4)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_group_norm_silu(x, scale, bias, groups=4, silu=False, tile=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
