@@ -42,6 +42,8 @@ def main(argv=None):
     p.add_argument("-o", "--output", default=".", help="output dir or file")
     p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
     p.add_argument("--no-compile-cache", action="store_true")
+    p.add_argument("--profile", action="store_true",
+                   help="print per-stage timings (encode/unet/decode)")
     args = p.parse_args(argv)
 
     if not args.model_dir and not args.random_weights:
@@ -72,6 +74,11 @@ def main(argv=None):
         bundle, dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     )
     width, height = parse_size(args.size)
+
+    if args.profile:
+        stats = pipe.profile_stages(height=height, width=width, steps=args.steps)
+        for k, v in stats.items():
+            print(f"  {k}: {v:.2f}")
 
     t0 = time.time()
     res = pipe.generate(

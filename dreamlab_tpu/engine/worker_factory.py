@@ -74,6 +74,10 @@ def create_tpu_worker(
         "worker %d: loaded %s (%s) in %.1fs",
         worker_id, model_path, arch, time.time() - t0,
     )
+    if styles is None:
+        from .styles import get_style_registry
+
+        styles = get_style_registry()
     worker = TPUPipelineWorker(pipeline, worker_id, styles=styles)
     if warmup_size:
         w, h = warmup_size

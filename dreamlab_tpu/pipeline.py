@@ -467,6 +467,67 @@ class LCMPipeline:
             },
         )
 
+    def profile_stages(
+        self, *, height: int = 512, width: int = 512, steps: int = 4,
+        batch: int = 1, iters: int = 5,
+    ) -> Dict[str, float]:
+        """Per-stage wall-clock breakdown (ms): the reference's built-in
+        profiler contract (prompt-encode / per-step UNet / VAE decode,
+        rknnlcm.py:546-642), measured as separately-jitted stages. The
+        production path fuses all stages into one program — this exists for
+        diagnosis, not serving.
+        """
+        b = self.bundle
+        rs = np.random.RandomState(0)
+        h_lat, w_lat = height // self.vae_scale, width // self.vae_scale
+        ids = jnp.asarray(b.tokenizer(["profile"] * batch))
+        lat = jnp.asarray(
+            rs.randn(batch, h_lat, w_lat, self.latent_channels), jnp.float32
+        )
+        ctx_dim = b.unet_cfg.cross_attention_dim
+        ctx = jnp.asarray(rs.randn(batch, 77, ctx_dim), jnp.float32)
+        t = jnp.full((batch,), 999, jnp.int32)
+        kw = {}
+        if b.unet_cfg.time_cond_proj_dim:
+            kw["timestep_cond"] = jnp.zeros(
+                (batch, b.unet_cfg.time_cond_proj_dim), jnp.float32
+            )
+        if b.unet_cfg.addition_embed_type:
+            pooled_dim = (
+                b.text_cfg_2.projection_dim if b.text_cfg_2 else 1280
+            )
+            kw["added_text_embeds"] = jnp.zeros((batch, pooled_dim), jnp.float32)
+            kw["added_time_ids"] = jnp.zeros((batch, 6), jnp.float32)
+
+        from .models import clip_text as ct, unet as un, vae as va
+
+        stages = {
+            "text_encode": (
+                jax.jit(lambda p, i: ct.encode_text(p, i, b.text_cfg)[0]),
+                (self.text_params, ids),
+            ),
+            "unet_step": (
+                jax.jit(lambda p, s, tt, c: un.forward(
+                    p, b.unet_cfg, s, tt, c, **kw
+                )),
+                (self.unet_params, lat, t, ctx),
+            ),
+            "vae_decode": (
+                jax.jit(lambda p, z: va.decode(p, b.vae_cfg, z)),
+                (self.vae_params, lat),
+            ),
+        }
+        out: Dict[str, float] = {}
+        for name, (fn, args) in stages.items():
+            jax.block_until_ready(fn(*args))  # compile
+            t0 = time.time()
+            for _ in range(iters):
+                r = fn(*args)
+            jax.block_until_ready(r)
+            out[name + "_ms"] = 1e3 * (time.time() - t0) / iters
+        out["denoise_loop_ms"] = out["unet_step_ms"] * steps
+        return out
+
     def img2img(
         self,
         prompt,

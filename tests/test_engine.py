@@ -392,3 +392,24 @@ def test_pool_batching_disabled_for_plain_worker(pool):
     ]
     for f in futs:
         f.result(timeout=5)
+
+
+def test_style_registry_yaml(tmp_path):
+    from dreamlab_tpu.engine.styles import load_style_registry
+
+    path = tmp_path / "styles.yaml"
+    path.write_text("""
+lora_root: /loras
+styles:
+  anime:
+    file: anime-v2.safetensors
+    strengths: [0.5, 1.0]
+    required_cross_attention_dim: 768
+  crisp: detail.safetensors
+""")
+    reg = load_style_registry(str(path))
+    assert reg["anime"].path == "/loras/anime-v2.safetensors"
+    assert reg["anime"].strengths == (0.5, 1.0)
+    assert reg["anime"].required_cross_attention_dim == 768
+    assert reg["crisp"].path == "/loras/detail.safetensors"
+    assert load_style_registry(str(tmp_path / "missing.yaml")) == {}

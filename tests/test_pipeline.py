@@ -140,3 +140,11 @@ def test_img2img_validation(pipe):
         pipe.img2img("x", img, strength=0.0)
     with pytest.raises(ValueError):
         pipe.img2img("x", np.zeros((30, 32, 3), np.uint8))
+
+
+def test_profile_stages(pipe):
+    stats = pipe.profile_stages(height=32, width=32, steps=2, iters=1)
+    for key in ("text_encode_ms", "unet_step_ms", "vae_decode_ms",
+                "denoise_loop_ms"):
+        assert key in stats and stats[key] >= 0
+    assert stats["denoise_loop_ms"] == pytest.approx(2 * stats["unet_step_ms"])
