@@ -479,13 +479,19 @@ def classify_arch(cross_attention_dim: int) -> str:
 
 
 def load_pipeline(model_dir: str, *, load_vae_encoder: bool = False) -> PipelineBundle:
-    """Load a diffusers-layout checkpoint directory into a PipelineBundle.
+    """Load a checkpoint into a PipelineBundle.
 
-    Expected layout (reference contract, base.py:40-58 + diffusers):
+    Accepts a diffusers-layout directory (reference contract, base.py:40-58):
       scheduler/scheduler_config.json, tokenizer/, text_encoder/,
       unet/, vae/ (or vae_decoder/), and for SDXL additionally
-      tokenizer_2/, text_encoder_2/.
+      tokenizer_2/, text_encoder_2/ —
+    or a single-file LDM-layout .safetensors (the reference's
+    from_single_file path; see loader_single_file).
     """
+    if os.path.isfile(model_dir):
+        from .loader_single_file import load_single_file
+
+        return load_single_file(model_dir)
     def sub(name):
         return os.path.join(model_dir, name)
 
