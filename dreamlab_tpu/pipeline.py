@@ -180,7 +180,11 @@ class LCMPipeline:
         def denoise_decode(
             unet_params, vae_params, ctx, pooled, ctx_neg, pooled_neg,
             latents0, noises, schedule: LCMSchedule, w_emb, guidance, time_ids,
+            inpaint=None,
         ):
+            """inpaint: optional (known_x0, mask_lat, noises_known) — legacy
+            inpainting blends the known region back at each step, renoised
+            to the upcoming timestep (mask 1 = regenerate)."""
             added_kw = {}
             if is_xl:
                 added_kw = dict(added_text_embeds=pooled, added_time_ids=time_ids)
@@ -219,12 +223,22 @@ class LCMPipeline:
                     schedule, i, noise_pred, lat, inp,
                     prediction_type=b.scheduler_cfg.prediction_type,
                 )
+                if inpaint is not None:
+                    known_x0, mask, noises_known = inpaint
+                    known_next = (
+                        schedule.sqrt_alpha_prod_prev[i] * known_x0
+                        + schedule.sqrt_beta_prod_prev[i] * noises_known[i]
+                    )
+                    lat = mask * lat + (1.0 - mask) * known_next
                 return (i + 1, lat), denoised
 
             (_, _), denoised_seq = jax.lax.scan(
                 body, (jnp.int32(0), latents0), noises
             )
             denoised = denoised_seq[-1]
+            if inpaint is not None:
+                known_x0, mask, _ = inpaint
+                denoised = mask * denoised + (1.0 - mask) * known_x0
 
             img = vae.decode(vae_params, vae_cfg, denoised / vae_cfg.scaling_factor)
             img = jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
@@ -240,7 +254,38 @@ class LCMPipeline:
                 )
             return ctx, pooled, ctx_neg, pooled_neg
 
-        if task == "img2img":
+        if task in ("img2img", "inpaint"):
+
+            def encode_x0(vae_enc_params, image, eps_post):
+                moments = vae.encode_moments(vae_enc_params, vae_cfg, image)
+                mean = moments[..., :lat_c]
+                logvar = jnp.clip(moments[..., lat_c:], -30.0, 20.0)
+                return (mean + jnp.exp(0.5 * logvar) * eps_post) * vae_cfg.scaling_factor
+
+            if task == "inpaint":
+
+                def program_inp(
+                    text_params, text_params_2, unet_params, vae_params,
+                    vae_enc_params,
+                    ids, ids_neg, ids_2, ids_2_neg,
+                    image, mask_lat, eps_post, noise0, noises, noises_known,
+                    schedule: LCMSchedule, w_emb, guidance, time_ids,
+                ):
+                    ctx, pooled, ctx_neg, pooled_neg = encode_both(
+                        text_params, text_params_2, ids, ids_neg, ids_2, ids_2_neg
+                    )
+                    x0 = encode_x0(vae_enc_params, image, eps_post)
+                    lat0 = (
+                        schedule.sqrt_alpha_prod[0] * x0
+                        + schedule.sqrt_beta_prod[0] * noise0
+                    )
+                    return denoise_decode(
+                        unet_params, vae_params, ctx, pooled, ctx_neg,
+                        pooled_neg, lat0, noises, schedule, w_emb, guidance,
+                        time_ids, inpaint=(x0, mask_lat, noises_known),
+                    )
+
+                return jax.jit(program_inp, donate_argnums=(12, 13, 14))
 
             def program_i2i(
                 text_params, text_params_2, unet_params, vae_params,
@@ -252,11 +297,7 @@ class LCMPipeline:
                 ctx, pooled, ctx_neg, pooled_neg = encode_both(
                     text_params, text_params_2, ids, ids_neg, ids_2, ids_2_neg
                 )
-                moments = vae.encode_moments(vae_enc_params, vae_cfg, image)
-                mean = moments[..., :lat_c]
-                logvar = jnp.clip(moments[..., lat_c:], -30.0, 20.0)
-                x0 = (mean + jnp.exp(0.5 * logvar) * eps_post)
-                x0 = x0 * vae_cfg.scaling_factor
+                x0 = encode_x0(vae_enc_params, image, eps_post)
                 # renoise to the strength-truncated ladder's first timestep
                 lat0 = (
                     schedule.sqrt_alpha_prod[0] * x0
@@ -528,11 +569,31 @@ class LCMPipeline:
         out["denoise_loop_ms"] = out["unet_step_ms"] * steps
         return out
 
+    def inpaint(
+        self,
+        prompt,
+        init_image: np.ndarray,
+        mask: np.ndarray,
+        *,
+        strength: float = 1.0,
+        **kwargs,
+    ) -> GenerationResult:
+        """Legacy inpainting (the reference ecosystem's ImageInpaintLegacy
+        pipeline type): img2img where the unmasked region is blended back
+        each step, renoised to the upcoming timestep.
+
+        mask: [H, W] or [H, W, 1]; nonzero = regenerate that region.
+        """
+        return self.img2img(
+            prompt, init_image, mask=mask, strength=strength, **kwargs
+        )
+
     def img2img(
         self,
         prompt,
         init_image: np.ndarray,
         *,
+        mask: Optional[np.ndarray] = None,
         strength: float = 0.5,
         num_inference_steps: int = 4,
         original_inference_steps: Optional[int] = None,
@@ -547,6 +608,7 @@ class LCMPipeline:
         size and must satisfy the same divisibility rule as txt2img.
         strength ∈ (0, 1]: fraction of the trained ladder to traverse
         (diffusers img2img semantics) — 1.0 ≈ full txt2img noise.
+        mask: optional [H, W]/[H, W, 1] repaint mask → legacy inpainting.
         """
         if self.vae_encoder_params is None:
             raise ValueError("checkpoint has no VAE encoder weights")
@@ -595,6 +657,30 @@ class LCMPipeline:
         )
         image_f = (img.astype(np.float32) / 255.0) * 2.0 - 1.0
 
+        task = "img2img"
+        mask_lat = noises_known = None
+        if mask is not None:
+            task = "inpaint"
+            m = np.asarray(mask, np.float32)
+            if m.ndim == 3:
+                m = m[..., 0]
+            if m.shape != (height, width):
+                raise ValueError(
+                    f"mask shape {m.shape} != image dims {(height, width)}"
+                )
+            m = (m > 0).astype(np.float32)
+            # area-downsample to latent resolution: any repainted pixel in a
+            # latent cell marks the cell for regeneration
+            s = self.vae_scale
+            m_lat = m.reshape(h_lat, s, w_lat, s).max(axis=(1, 3))
+            mask_lat = np.broadcast_to(
+                m_lat[None, :, :, None], (bsz, h_lat, w_lat, 1)
+            ).astype(np.float32)
+            noises_known = (
+                rs.randn(num_inference_steps, *shape)
+                .astype(np.float32).transpose(0, 1, 3, 4, 2)
+            )
+
         if lcm_mode:
             w_emb = guidance_scale_embedding(
                 np.full((bsz,), guidance_scale - 1.0),
@@ -608,18 +694,35 @@ class LCMPipeline:
         t_prep = time.time()
 
         fn = self._get_compiled(
-            bsz, h_lat, w_lat, num_inference_steps, cfg_mode, "host", "img2img"
+            bsz, h_lat, w_lat, num_inference_steps, cfg_mode, "host", task
         )
-        img_u8, denoised = fn(
+        common = (
             self.text_params, self.text_params_2, self.unet_params,
             self.vae_params, self.vae_encoder_params,
             ids, ids_neg, ids_2, ids_2_neg,
             jnp.asarray(np.ascontiguousarray(image_f)),
-            jnp.asarray(np.ascontiguousarray(eps_post)),
-            jnp.asarray(np.ascontiguousarray(noise0)),
-            jnp.asarray(np.ascontiguousarray(noises)),
+        )
+        tail = (
             schedule, w_emb, jnp.float32(guidance_scale), time_ids,
         )
+        if task == "inpaint":
+            img_u8, denoised = fn(
+                *common,
+                jnp.asarray(mask_lat),
+                jnp.asarray(np.ascontiguousarray(eps_post)),
+                jnp.asarray(np.ascontiguousarray(noise0)),
+                jnp.asarray(np.ascontiguousarray(noises)),
+                jnp.asarray(np.ascontiguousarray(noises_known)),
+                *tail,
+            )
+        else:
+            img_u8, denoised = fn(
+                *common,
+                jnp.asarray(np.ascontiguousarray(eps_post)),
+                jnp.asarray(np.ascontiguousarray(noise0)),
+                jnp.asarray(np.ascontiguousarray(noises)),
+                *tail,
+            )
         images = np.asarray(jax.block_until_ready(img_u8))
         t_done = time.time()
         return GenerationResult(

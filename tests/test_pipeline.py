@@ -148,3 +148,43 @@ def test_profile_stages(pipe):
                 "denoise_loop_ms"):
         assert key in stats and stats[key] >= 0
     assert stats["denoise_loop_ms"] == pytest.approx(2 * stats["unet_step_ms"])
+
+
+def test_inpaint_basic(pipe):
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 255, (32, 32, 3), np.uint8)
+    mask = np.zeros((32, 32), np.uint8)
+    mask[8:24, 8:24] = 255
+    res = pipe.inpaint("a cat", img, mask, num_inference_steps=2, seed=7)
+    assert res.images.shape == (1, 32, 32, 3)
+    res2 = pipe.inpaint("a cat", img, mask, num_inference_steps=2, seed=7)
+    np.testing.assert_array_equal(res.images, res2.images)
+
+
+def test_inpaint_preserves_known_latents(pipe):
+    """With a zero mask (nothing to repaint) the final latents equal the
+    encoded image latents exactly — the per-step blend pins them."""
+    rs = np.random.RandomState(1)
+    img = rs.randint(0, 255, (32, 32, 3), np.uint8)
+    mask = np.zeros((32, 32), np.uint8)  # repaint nothing
+    res = pipe.inpaint("whatever", img, mask, num_inference_steps=2, seed=3)
+    # reproduce the encoder-side x0 with the same seed's posterior noise
+    import jax.numpy as jnp
+    from dreamlab_tpu.models import vae as vae_mod
+
+    rs2 = np.random.RandomState(3)
+    c = pipe.latent_channels
+    s = pipe.vae_scale
+    eps = rs2.randn(1, c, 32 // s, 32 // s).astype(np.float32).transpose(0, 2, 3, 1)
+    image_f = (img[None].astype(np.float32) / 255.0) * 2 - 1
+    moments = np.asarray(vae_mod.encode_moments(
+        pipe.vae_encoder_params, pipe.bundle.vae_cfg, jnp.asarray(image_f)))
+    mean, logvar = moments[..., :c], np.clip(moments[..., c:], -30, 20)
+    x0 = (mean + np.exp(0.5 * logvar) * eps) * pipe.bundle.vae_cfg.scaling_factor
+    np.testing.assert_allclose(res.latents, x0, rtol=1e-4, atol=1e-5)
+
+
+def test_inpaint_mask_validation(pipe):
+    img = np.zeros((32, 32, 3), np.uint8)
+    with pytest.raises(ValueError):
+        pipe.inpaint("x", img, np.zeros((16, 16), np.uint8))
