@@ -254,3 +254,58 @@ def test_mode_defaults_applied(client):
     resp, _ = client("POST", "/generate", json={"prompt": "x", "size": "32x32",
                                                 "seed": 1})
     assert resp.status == 200
+
+
+def test_server_config_from_env(monkeypatch, tmp_path):
+    from dreamlab_tpu.serving.app import ServerConfig
+
+    monkeypatch.setenv("MODEL_ROOT", "/models")
+    monkeypatch.setenv("MODEL", "ckpt")
+    monkeypatch.setenv("NUM_WORKERS", "3")
+    monkeypatch.setenv("QUEUE_MAX", "7")
+    monkeypatch.setenv("DEFAULT_SIZE", "384x384")
+    monkeypatch.setenv("DEFAULT_TIMEOUT", "60")
+    monkeypatch.setenv("SR_NUM_WORKERS", "2")
+    monkeypatch.setenv("YUME_ENABLED", "1")
+    monkeypatch.delenv("MODES_CONFIG", raising=False)
+    cfg = ServerConfig.from_env()
+    assert cfg.model_path == "/models/ckpt"
+    assert cfg.num_workers == 3
+    assert cfg.queue_max == 7
+    assert cfg.default_size == "384x384"
+    assert cfg.request_timeout == 60.0
+    assert cfg.sr_num_workers == 2
+    assert cfg.yume_enabled
+
+
+def test_legacy_service_multi_worker(shared_pipe):
+    from dreamlab_tpu.engine.base import GenSpec
+    from dreamlab_tpu.engine.tpu_worker import TPUPipelineWorker
+    from dreamlab_tpu.serving.legacy_service import PipelineService
+
+    made = []
+
+    def factory(i):
+        w = TPUPipelineWorker(shared_pipe, i)
+        made.append(w)
+        return w
+
+    svc = PipelineService(factory, num_workers=2, queue_max=8)
+    try:
+        assert len(made) == 2
+        futs = [
+            svc.submit(GenSpec(prompt=f"p{i}", size="32x32",
+                               num_inference_steps=2, seed=i))
+            for i in range(4)
+        ]
+        results = [f.result(timeout=60) for f in futs]
+        assert all(png[:8] == b"\x89PNG\r\n\x1a\n" for png, _ in results)
+        png_l, seed_l, lat = svc.submit(
+            GenSpec(prompt="z", size="32x32", num_inference_steps=2, seed=5),
+            with_latents=True,
+        ).result(timeout=60)
+        assert len(lat) == 512
+    finally:
+        svc.shutdown()
+    with pytest.raises(RuntimeError):
+        svc.submit(GenSpec(prompt="late", size="32x32"))
