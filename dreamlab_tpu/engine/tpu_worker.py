@@ -191,6 +191,46 @@ class TPUPipelineWorker:
         return png, res.seed, latents_to_fingerprint(res.latents)
 
     # ------------------------------------------------------------------
+    def run_img2img(
+        self,
+        spec: GenSpec,
+        image: np.ndarray,
+        *,
+        strength: float = 0.5,
+        mask: Optional[np.ndarray] = None,
+    ) -> Tuple[bytes, int]:
+        """img2img / inpaint job (image dims define the output size)."""
+        seed = spec.seed
+        if seed is None:
+            seed = int(np.random.randint(0, 2**31 - 1))
+        with self._lock:
+            self._apply_style(spec.style, spec.style_level)
+            try:
+                res = self.pipeline.img2img(
+                    spec.prompt, image,
+                    mask=mask,
+                    strength=strength,
+                    num_inference_steps=spec.num_inference_steps,
+                    original_inference_steps=spec.original_inference_steps,
+                    guidance_scale=spec.guidance_scale,
+                    negative_prompt=spec.negative_prompt,
+                    seed=seed,
+                )
+            finally:
+                self._apply_style(None, 0)
+        png = png_encode(
+            res.images[0],
+            metadata={
+                "parameters": (
+                    f"{spec.prompt}\nSteps: {spec.num_inference_steps}, "
+                    f"CFG scale: {spec.guidance_scale}, Seed: {res.seed}, "
+                    f"Strength: {strength}"
+                )
+            },
+        )
+        return png, res.seed
+
+    # ------------------------------------------------------------------
     @staticmethod
     def batchable(a: GenSpec, b: GenSpec) -> bool:
         """Specs that can share one compiled call: same shape bucket,

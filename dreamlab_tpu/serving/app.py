@@ -322,6 +322,73 @@ async def superres_handler(request: web.Request) -> web.Response:
     )
 
 
+async def img2img_handler(request: web.Request) -> web.Response:
+    """POST /v1/img2img (multipart): file, prompt, strength, steps, guidance,
+    seed, negative_prompt, optional mask → image bytes + X-Seed.
+
+    Extends the reference surface with the img2img/inpaint pipeline types
+    its model ecosystem ships (LCM-Dreamshaper model card lists TextToImage/
+    ImageToImage/ImageInpaintLegacy). Mode-system backend only.
+    """
+    import numpy as np
+    from PIL import Image as PILImage
+
+    state: ServerState = request.app[STATE_KEY]
+    if state.pool is None:
+        raise web.HTTPServiceUnavailable(
+            text=json.dumps({"detail": "img2img requires the mode system"}),
+            content_type="application/json",
+        )
+    post = await request.post()
+    upload = post.get("file")
+    if upload is None or not hasattr(upload, "file"):
+        raise web.HTTPBadRequest(
+            text=json.dumps({"detail": "multipart field 'file' required"}),
+            content_type="application/json",
+        )
+    prompt = str(post.get("prompt", "") or "")
+    if not prompt:
+        raise web.HTTPBadRequest(
+            text=json.dumps({"detail": "field 'prompt' required"}),
+            content_type="application/json",
+        )
+    import io as _io
+
+    image = np.asarray(
+        PILImage.open(_io.BytesIO(upload.file.read())).convert("RGB")
+    )
+    mask = None
+    mask_upload = post.get("mask")
+    if mask_upload is not None and hasattr(mask_upload, "file"):
+        mask = np.asarray(
+            PILImage.open(_io.BytesIO(mask_upload.file.read())).convert("L")
+        )
+    strength = float(post.get("strength", 0.5))
+    seed_raw = post.get("seed")
+    spec = GenSpec(
+        prompt=prompt,
+        num_inference_steps=int(post.get("steps", 4)),
+        guidance_scale=float(post.get("guidance", 1.0)),
+        seed=int(seed_raw) if seed_raw not in (None, "") else None,
+        negative_prompt=str(post.get("negative_prompt") or "") or None,
+    )
+
+    from ..engine.worker_pool import CustomJob
+
+    fut = state.pool.submit_job(CustomJob(
+        lambda worker: worker.run_img2img(
+            spec, image, strength=strength, mask=mask
+        )
+    ))
+    png, seed = await _await_future(fut, timeout=state.config.request_timeout)
+    return web.Response(
+        body=png, content_type="image/png",
+        headers={"X-Seed": str(seed),
+                 "X-Mode": state.pool.current_mode or "",
+                 "X-Strength": str(strength)},
+    )
+
+
 async def health_handler(request: web.Request) -> web.Response:
     state: ServerState = request.app[STATE_KEY]
     return web.json_response({"status": "ok", "backend": state.backend})
@@ -516,6 +583,8 @@ def create_app(
     app.router.add_post("/generate", generate_handler)
     app.router.add_post("/superres", superres_handler)
     app.router.add_post("/v1/superres", superres_handler)
+    app.router.add_post("/v1/img2img", img2img_handler)
+    app.router.add_post("/v1/inpaint", img2img_handler)
     app.router.add_get("/health", health_handler)
     app.router.add_get("/storage/health", storage_health_handler)
     app.router.add_get("/storage/{key:.+}", storage_get_handler)

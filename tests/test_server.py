@@ -309,3 +309,62 @@ def test_legacy_service_multi_worker(shared_pipe):
         svc.shutdown()
     with pytest.raises(RuntimeError):
         svc.submit(GenSpec(prompt="late", size="32x32"))
+
+
+def _png_bytes(arr):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_img2img_endpoint(client):
+    import aiohttp
+
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 255, (32, 32, 3), np.uint8)
+    form = aiohttp.FormData()
+    form.add_field("file", _png_bytes(img), filename="in.png",
+                   content_type="image/png")
+    form.add_field("prompt", "repaint as a cat")
+    form.add_field("strength", "0.6")
+    form.add_field("steps", "2")
+    form.add_field("seed", "11")
+    resp, body = client("POST", "/v1/img2img", data=form)
+    assert resp.status == 200, body
+    assert body[:8] == b"\x89PNG\r\n\x1a\n"
+    assert resp.headers["X-Seed"] == "11"
+    assert resp.headers["X-Strength"] == "0.6"
+
+
+def test_inpaint_endpoint_with_mask(client):
+    import aiohttp
+
+    rs = np.random.RandomState(1)
+    img = rs.randint(0, 255, (32, 32, 3), np.uint8)
+    mask = np.zeros((32, 32), np.uint8)
+    mask[8:16, 8:16] = 255
+    form = aiohttp.FormData()
+    form.add_field("file", _png_bytes(img), filename="in.png",
+                   content_type="image/png")
+    form.add_field("mask", _png_bytes(mask), filename="mask.png",
+                   content_type="image/png")
+    form.add_field("prompt", "fill with flowers")
+    form.add_field("steps", "2")
+    resp, body = client("POST", "/v1/inpaint", data=form)
+    assert resp.status == 200, body
+    assert body[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_img2img_missing_fields(client):
+    import aiohttp
+
+    form = aiohttp.FormData()
+    form.add_field("prompt", "no image")
+    resp, _ = client("POST", "/v1/img2img", data=form)
+    assert resp.status == 400
+    form = aiohttp.FormData()
+    form.add_field("file", b"123", filename="x.png", content_type="image/png")
+    resp, _ = client("POST", "/v1/img2img", data=form)
+    assert resp.status == 400  # missing prompt
