@@ -368,3 +368,65 @@ def test_img2img_missing_fields(client):
     form.add_field("file", b"123", filename="x.png", content_type="image/png")
     resp, _ = client("POST", "/v1/img2img", data=form)
     assert resp.status == 400  # missing prompt
+
+
+def test_dreams_routes_via_app(shared_pipe, tmp_path):
+    """Dream session lifecycle through the HTTP surface."""
+    from dreamlab_tpu.engine.tpu_worker import TPUPipelineWorker
+    from dreamlab_tpu.yume.dream_worker import DreamWorker, set_dream_worker
+    from dreamlab_tpu.yume.scoring import AestheticScorer
+
+    worker = TPUPipelineWorker(shared_pipe, 0)
+    dream = DreamWorker(
+        worker, scorer=AestheticScorer(), redis=None,
+        candidate_size="32x32", candidate_steps=1,
+        render_size="32x32", render_steps=1,
+        render_interval=2, score_threshold=0.0, candidate_batch=2,
+    )
+    set_dream_worker(dream)
+    try:
+        app = create_app(ServerConfig(yume_enabled=True), skip_startup=True)
+        loop = asyncio.new_event_loop()
+        cl = TestClient(TestServer(app, loop=loop), loop=loop)
+        loop.run_until_complete(cl.start_server())
+
+        async def drive():
+            r = await cl.post("/dreams/start",
+                              json={"prompt": "tiny", "duration_s": 1.0,
+                                    "strategy": "random"})
+            assert r.status == 200
+            assert (await cl.post("/dreams/start", json={"prompt": "x"})).status == 409
+            assert (await cl.get("/dreams/status")).status == 200
+            await asyncio.sleep(1.3)
+            r = await cl.post("/dreams/stop")
+            st = await r.json()
+            assert not st["running"]
+            top = await (await cl.get("/dreams/top?n=5")).json()
+            assert top["top"]
+            stats = await (await cl.get("/dreams/stats")).json()
+            assert stats["generated"] > 0
+            assert (await cl.get("/dreams/recent")).status == 200
+            return True
+
+        assert loop.run_until_complete(drive())
+        loop.run_until_complete(cl.close())
+        loop.close()
+    finally:
+        set_dream_worker(None)
+
+
+def test_dreams_unavailable_503():
+    from dreamlab_tpu.yume.dream_worker import set_dream_worker
+
+    set_dream_worker(None)
+    app = create_app(ServerConfig(yume_enabled=True), skip_startup=True)
+    loop = asyncio.new_event_loop()
+    cl = TestClient(TestServer(app, loop=loop), loop=loop)
+    loop.run_until_complete(cl.start_server())
+
+    async def go():
+        return (await cl.get("/dreams/status")).status
+
+    assert loop.run_until_complete(go()) == 503
+    loop.run_until_complete(cl.close())
+    loop.close()

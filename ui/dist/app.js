@@ -137,6 +137,8 @@ async function generate() {
   };
   const seed = $("p-seed").value;
   if (seed !== "") body.seed = +seed;
+  const neg = $("neg-prompt").value.trim();
+  if (neg) body.negative_prompt = neg;
   const style = $("p-style").value;
   if (style) body.style_lora = { style, level: +$("p-style-level").value || 1 };
   const mode = $("mode-select").value;
