@@ -27,8 +27,18 @@ import numpy as np
 
 
 def conv2d(params, x, *, stride: int = 1, padding="SAME"):
-    """NHWC conv. params: {'w': [kh,kw,in,out], 'b': [out] (optional)}."""
+    """NHWC conv. params: {'w': [kh,kw,in,out], 'b': [out] (optional)}.
+
+    "SAME" is translated to torch-convention symmetric padding
+    (kh//2, kw//2 each side): identical to XLA SAME at stride 1 for odd
+    kernels, but at stride 2 XLA's SAME pads (0, 1) while torch/diffusers
+    checkpoints were trained with (1, 1) — the asymmetry shifts every
+    downsample output and breaks checkpoint fidelity.
+    """
     w = params["w"]
+    if padding == "SAME":
+        kh, kw = w.shape[0], w.shape[1]
+        padding = [(kh // 2, kh // 2), (kw // 2, kw // 2)]
     out = jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
