@@ -132,3 +132,99 @@ def test_clip_text_matches_transformers():
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(got_pooled), want_pooled,
                                rtol=2e-4, atol=2e-5)
+
+
+def test_resnet_block_matches_torch_reference():
+    """_resnet vs a torch block written from the diffusers ResnetBlock2D
+    semantics (GN→SiLU→conv → +time → GN→SiLU→conv → +skip)."""
+    from dreamlab_tpu.models.unet import _resnet
+    from dreamlab_tpu.models import unet as unet_mod
+    from dreamlab_tpu.models import configs
+
+    rs = np.random.RandomState(0)
+    cin, cout, temb_dim, groups = 8, 12, 16, 4
+    p = unet_mod._init_resnet(rs, cin, cout, temb_dim, groups, np.float32)
+    x = rs.randn(2, 6, 6, cin).astype(np.float32)
+    emb = rs.randn(2, temb_dim).astype(np.float32)
+
+    got = np.asarray(_resnet(
+        {k: {kk: jnp.asarray(vv) for kk, vv in v.items()} for k, v in p.items()},
+        jnp.asarray(x), jnp.asarray(emb), groups=groups,
+    ))
+
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    et = torch.from_numpy(emb)
+
+    def t_conv(pp, inp, stride=1):
+        return torch.nn.functional.conv2d(
+            inp, torch.from_numpy(pp["w"].transpose(3, 2, 0, 1)),
+            torch.from_numpy(pp["b"]), stride=stride,
+            padding=pp["w"].shape[0] // 2,
+        )
+
+    def t_gn(pp, inp):
+        return torch.nn.functional.group_norm(
+            inp, groups, torch.from_numpy(pp["scale"]),
+            torch.from_numpy(pp["bias"]), eps=1e-5,
+        )
+
+    with torch.no_grad():
+        h = t_conv(p["conv1"], torch.nn.functional.silu(t_gn(p["norm1"], xt)))
+        t = torch.nn.functional.linear(
+            torch.nn.functional.silu(et),
+            torch.from_numpy(p["time_emb_proj"]["w"].T),
+            torch.from_numpy(p["time_emb_proj"]["b"]),
+        )
+        h = h + t[:, :, None, None]
+        h = t_conv(p["conv2"], torch.nn.functional.silu(t_gn(p["norm2"], h)))
+        skip = t_conv(p["shortcut"], xt)
+        want = (skip + h).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_unet_attention_matches_torch_sdpa():
+    from dreamlab_tpu.models.unet import _attention, _init_attn
+
+    rs = np.random.RandomState(1)
+    c, heads, n, m, ctx_dim = 16, 4, 10, 7, 12
+    p = _init_attn(rs, c, ctx_dim, np.float32)
+    x = rs.randn(2, n, c).astype(np.float32)
+    ctx = rs.randn(2, m, ctx_dim).astype(np.float32)
+
+    got = np.asarray(_attention(
+        {k: {kk: jnp.asarray(vv) for kk, vv in v.items()} for k, v in p.items()},
+        jnp.asarray(x), jnp.asarray(ctx), heads=heads,
+    ))
+
+    def lin(pp, inp):
+        w = torch.from_numpy(pp["w"].T)
+        b = torch.from_numpy(pp["b"]) if "b" in pp else None
+        return torch.nn.functional.linear(inp, w, b)
+
+    with torch.no_grad():
+        xt, ct = torch.from_numpy(x), torch.from_numpy(ctx)
+        q = lin(p["q"], xt).reshape(2, n, heads, c // heads).transpose(1, 2)
+        k = lin(p["k"], ct).reshape(2, m, heads, c // heads).transpose(1, 2)
+        v = lin(p["v"], ct).reshape(2, m, heads, c // heads).transpose(1, 2)
+        o = torch.nn.functional.scaled_dot_product_attention(q, k, v)
+        o = o.transpose(1, 2).reshape(2, n, c)
+        want = lin(p["out"], o).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_timestep_embedding_matches_diffusers_formula():
+    """flip_sin_to_cos=True, freq_shift=0 — the SD1.5 convention; an error
+    here would silently corrupt all denoising."""
+    from dreamlab_tpu.models.layers import timestep_embedding
+
+    t = np.array([0, 1, 999], np.float32)
+    dim = 32
+    got = np.asarray(timestep_embedding(jnp.asarray(t), dim))
+    half = dim // 2
+    exponent = -np.log(10000.0) * np.arange(half, dtype=np.float64) / half
+    emb = t[:, None].astype(np.float64) * np.exp(exponent)[None]
+    want = np.concatenate([np.cos(emb), np.sin(emb)], axis=-1)  # flipped
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # t=0: cos half = 1, sin half = 0
+    np.testing.assert_allclose(got[0, :half], 1.0, atol=1e-6)
+    np.testing.assert_allclose(got[0, half:], 0.0, atol=1e-6)
