@@ -225,6 +225,24 @@ class WorkerPool:
 
     def _worker_loop(self):
         pending: list = []
+        try:
+            self._run_jobs(pending)
+        finally:
+            # fail anything left behind so no caller blocks forever
+            # (the reference fails queued futures explicitly on shutdown,
+            # lcm_sr_server.py:255-264)
+            leftovers = list(pending)
+            while True:
+                try:
+                    leftovers.append(self.queue.get_nowait())
+                    self.queue.task_done()
+                except queue.Empty:
+                    break
+            for job in leftovers:
+                if job is not None and not job.future.done():
+                    job.future.set_exception(RuntimeError("pool shut down"))
+
+    def _run_jobs(self, pending: list):
         while not self._shutdown.is_set():
             if pending:
                 job = pending.pop(0)

@@ -413,3 +413,21 @@ styles:
     assert reg["anime"].required_cross_attention_dim == 768
     assert reg["crisp"].path == "/loras/detail.safetensors"
     assert load_style_registry(str(tmp_path / "missing.yaml")) == {}
+
+
+def test_shutdown_fails_leftover_futures(tmp_path):
+    cfg = ModeConfigManager(write_modes_yaml(tmp_path / "m.yaml", modes=("a",)))
+    reg = ModelRegistry(total_hbm_bytes=1 << 30)
+    pool = WorkerPool(queue_max=8, worker_factory=lambda i, p: FakeWorker(i, p),
+                      mode_config=cfg, registry=reg)
+    gate = threading.Event()
+    pool.submit_job(CustomJob(lambda w: gate.wait(5)))
+    time.sleep(0.05)
+    stuck = [pool.submit_job(CustomJob(lambda w: "never")) for _ in range(3)]
+    gate.set()
+    pool.shutdown(drain=False, timeout=0.2)
+    for f in stuck:
+        assert f.done()
+        # either completed before shutdown won the race, or failed cleanly
+        if f.exception() is not None:
+            assert "shut down" in str(f.exception())

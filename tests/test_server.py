@@ -383,6 +383,11 @@ def test_dreams_routes_via_app(shared_pipe, tmp_path):
         render_size="32x32", render_steps=1,
         render_interval=2, score_threshold=0.0, candidate_batch=2,
     )
+    # pre-compile the candidate + render buckets: first-use compiles on the
+    # single-core CPU would otherwise eat the whole timed session
+    dream._generate_candidates([1, 2], "warm")
+    from dreamlab_tpu.engine.base import GenSpec as _GS
+    worker.run_job(_GS(prompt="warm", size="32x32", num_inference_steps=1, seed=0))
     set_dream_worker(dream)
     try:
         app = create_app(ServerConfig(yume_enabled=True), skip_startup=True)
@@ -392,12 +397,12 @@ def test_dreams_routes_via_app(shared_pipe, tmp_path):
 
         async def drive():
             r = await cl.post("/dreams/start",
-                              json={"prompt": "tiny", "duration_s": 1.0,
+                              json={"prompt": "tiny", "duration_s": 2.0,
                                     "strategy": "random"})
             assert r.status == 200
             assert (await cl.post("/dreams/start", json={"prompt": "x"})).status == 409
             assert (await cl.get("/dreams/status")).status == 200
-            await asyncio.sleep(1.3)
+            await asyncio.sleep(2.3)
             r = await cl.post("/dreams/stop")
             st = await r.json()
             assert not st["running"]
