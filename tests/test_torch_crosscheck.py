@@ -228,3 +228,205 @@ def test_timestep_embedding_matches_diffusers_formula():
     # t=0: cos half = 1, sin half = 0
     np.testing.assert_allclose(got[0, :half], 1.0, atol=1e-6)
     np.testing.assert_allclose(got[0, half:], 0.0, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# full-graph UNet cross-check: an independent torch forward over the same
+# (torch-named) tensors produced by the test exporters
+# ---------------------------------------------------------------------------
+
+
+class _TorchUNetRef:
+    """Minimal torch UNet2DConditionModel forward, written from the
+    diffusers semantics (not from this repo's JAX code): NCHW, torch ops
+    only. Consumes the flat torch-named dict from tests.test_loader.export_unet."""
+
+    def __init__(self, sd, cfg):
+        self.sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+        self.cfg = cfg
+
+    def p(self, key):
+        return self.sd[key + ".weight"], self.sd.get(key + ".bias")
+
+    def conv(self, key, x, stride=1):
+        w, b = self.p(key)
+        return torch.nn.functional.conv2d(x, w, b, stride=stride,
+                                          padding=w.shape[-1] // 2)
+
+    def lin(self, key, x):
+        w, b = self.p(key)
+        return torch.nn.functional.linear(x, w, b)
+
+    def gn(self, key, x, eps=1e-5):
+        w, b = self.p(key)
+        return torch.nn.functional.group_norm(x, self.cfg.norm_groups, w, b, eps)
+
+    def ln(self, key, x):
+        w, b = self.p(key)
+        return torch.nn.functional.layer_norm(x, (x.shape[-1],), w, b, 1e-5)
+
+    def time_embedding(self, t):
+        dim = self.cfg.block_out_channels[0]
+        half = dim // 2
+        expo = -np.log(10000.0) * torch.arange(half, dtype=torch.float64) / half
+        ang = t[:, None].double() * torch.exp(expo)[None]
+        emb = torch.cat([torch.cos(ang), torch.sin(ang)], dim=-1).float()
+        return emb
+
+    def resnet(self, key, x, emb):
+        h = self.conv(key + ".conv1", torch.nn.functional.silu(self.gn(key + ".norm1", x)))
+        t = self.lin(key + ".time_emb_proj", torch.nn.functional.silu(emb))
+        h = h + t[:, :, None, None]
+        h = self.conv(key + ".conv2", torch.nn.functional.silu(self.gn(key + ".norm2", h)))
+        if key + ".conv_shortcut.weight" in self.sd:
+            x = self.conv(key + ".conv_shortcut", x)
+        return x + h
+
+    def attn(self, key, x, ctx, heads):
+        b, n, c = x.shape
+        d = c // heads
+        q = self.lin(key + ".to_q", x).view(b, n, heads, d).transpose(1, 2)
+        k = self.lin(key + ".to_k", ctx).view(b, ctx.shape[1], heads, d).transpose(1, 2)
+        v = self.lin(key + ".to_v", ctx).view(b, ctx.shape[1], heads, d).transpose(1, 2)
+        o = torch.nn.functional.scaled_dot_product_attention(q, k, v)
+        return self.lin(key + ".to_out.0", o.transpose(1, 2).reshape(b, n, c))
+
+    def transformer(self, key, x, ctx, heads, n_layers):
+        b, c, hh, ww = x.shape
+        res = x
+        h = torch.nn.functional.group_norm(
+            x, self.cfg.norm_groups, *self.p(key + ".norm"), 1e-6)
+        h = h.permute(0, 2, 3, 1).reshape(b, hh * ww, c)
+        h = self.lin(key + ".proj_in", h)
+        for i in range(n_layers):
+            bk = f"{key}.transformer_blocks.{i}"
+            h = h + self.attn(bk + ".attn1", self.ln(bk + ".norm1", h), self.ln(bk + ".norm1", h), heads)
+            h = h + self.attn(bk + ".attn2", self.ln(bk + ".norm2", h), ctx, heads)
+            ff = self.lin(bk + ".ff.net.0.proj", self.ln(bk + ".norm3", h))
+            a, g = ff.chunk(2, dim=-1)
+            h = h + self.lin(bk + ".ff.net.2", a * torch.nn.functional.gelu(g))
+        h = self.lin(key + ".proj_out", h)
+        return h.reshape(b, hh, ww, c).permute(0, 3, 1, 2) + res
+
+    def fourier(self, t, dim):
+        half = dim // 2
+        expo = -np.log(10000.0) * torch.arange(half, dtype=torch.float64) / half
+        ang = t.reshape(-1)[:, None].double() * torch.exp(expo)[None]
+        return torch.cat([torch.cos(ang), torch.sin(ang)], dim=-1).float()
+
+    def forward(self, sample, t, ctx, w_cond=None, pooled=None, time_ids=None):
+        cfg = self.cfg
+        temb = self.time_embedding(t)
+        if w_cond is not None and "time_embedding.cond_proj.weight" in self.sd:
+            temb = temb + torch.nn.functional.linear(
+                w_cond, self.sd["time_embedding.cond_proj.weight"])
+        emb = self.lin("time_embedding.linear_1", temb)
+        emb = self.lin("time_embedding.linear_2", torch.nn.functional.silu(emb))
+        if cfg.addition_embed_type == "text_time":
+            tid = self.fourier(time_ids, cfg.addition_time_embed_dim)
+            tid = tid.reshape(time_ids.shape[0], -1)
+            add = torch.cat([pooled, tid], dim=-1)
+            a = self.lin("add_embedding.linear_1", add)
+            emb = emb + self.lin("add_embedding.linear_2",
+                                 torch.nn.functional.silu(a))
+
+        x = self.conv("conv_in", sample)
+        skips = [x]
+        n_blocks = cfg.num_blocks
+        for i in range(n_blocks):
+            tl = cfg.transformer_layers_per_block[i]
+            for j in range(cfg.layers_per_block):
+                x = self.resnet(f"down_blocks.{i}.resnets.{j}", x, emb)
+                if tl:
+                    x = self.transformer(f"down_blocks.{i}.attentions.{j}", x,
+                                         self._ctx, cfg.num_attention_heads[i], tl)
+                skips.append(x)
+            if i < n_blocks - 1:
+                x = self.conv(f"down_blocks.{i}.downsamplers.0.conv", x, stride=2)
+                skips.append(x)
+
+        x = self.resnet("mid_block.resnets.0", x, emb)
+        if cfg.has_mid_attention:
+            x = self.transformer("mid_block.attentions.0", x, self._ctx,
+                                 cfg.num_attention_heads[-1],
+                                 cfg.mid_block_transformer_layers)
+        x = self.resnet("mid_block.resnets.1", x, emb)
+
+        for k in range(n_blocks):
+            i = n_blocks - 1 - k
+            tl = cfg.transformer_layers_per_block[i]
+            for j in range(cfg.layers_per_block + 1):
+                x = torch.cat([x, skips.pop()], dim=1)
+                x = self.resnet(f"up_blocks.{k}.resnets.{j}", x, emb)
+                if tl:
+                    x = self.transformer(f"up_blocks.{k}.attentions.{j}", x,
+                                         self._ctx, cfg.num_attention_heads[i], tl)
+            if k < n_blocks - 1:
+                x = torch.nn.functional.interpolate(x, scale_factor=2, mode="nearest")
+                x = self.conv(f"up_blocks.{k}.upsamplers.0.conv", x)
+
+        x = torch.nn.functional.silu(self.gn("conv_norm_out", x))
+        return self.conv("conv_out", x)
+
+
+def test_unet_full_graph_matches_torch_reference():
+    from dreamlab_tpu.models import configs, unet
+    from tests.test_loader import export_unet
+
+    cfg = configs.TINY_UNET
+    params = unet.init_params(cfg, np.random.RandomState(0))
+    sd = export_unet(params, cfg)
+
+    rs = np.random.RandomState(7)
+    sample = rs.randn(2, 8, 8, 4).astype(np.float32)
+    t = np.array([999, 17], np.float32)
+    ctx = rs.randn(2, 77, cfg.cross_attention_dim).astype(np.float32)
+    w_cond = rs.randn(2, cfg.time_cond_proj_dim).astype(np.float32)
+
+    got = np.asarray(unet.forward(
+        params, cfg, jnp.asarray(sample), jnp.asarray(t, jnp.int32),
+        jnp.asarray(ctx), timestep_cond=jnp.asarray(w_cond),
+    ))
+
+    ref = _TorchUNetRef(sd, cfg)
+    ref._ctx = torch.from_numpy(ctx)
+    with torch.no_grad():
+        want = ref.forward(
+            torch.from_numpy(sample.transpose(0, 3, 1, 2)),
+            torch.from_numpy(t), torch.from_numpy(ctx),
+            torch.from_numpy(w_cond),
+        ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-4)
+
+
+def test_unet_sdxl_full_graph_matches_torch_reference():
+    from dreamlab_tpu.models import configs, unet
+    from tests.test_loader import export_unet
+
+    cfg = configs.TINY_UNET_XL
+    params = unet.init_params(cfg, np.random.RandomState(1))
+    sd = export_unet(params, cfg)
+
+    rs = np.random.RandomState(8)
+    sample = rs.randn(1, 8, 8, 4).astype(np.float32)
+    t = np.array([500], np.float32)
+    ctx = rs.randn(1, 77, cfg.cross_attention_dim).astype(np.float32)
+    pooled = rs.randn(1, 32).astype(np.float32)
+    time_ids = np.array([[64, 64, 0, 0, 64, 64]], np.float32)
+
+    got = np.asarray(unet.forward(
+        params, cfg, jnp.asarray(sample), jnp.asarray(t, jnp.int32),
+        jnp.asarray(ctx), added_text_embeds=jnp.asarray(pooled),
+        added_time_ids=jnp.asarray(time_ids),
+    ))
+
+    ref = _TorchUNetRef(sd, cfg)
+    ref._ctx = torch.from_numpy(ctx)
+    with torch.no_grad():
+        want = ref.forward(
+            torch.from_numpy(sample.transpose(0, 3, 1, 2)),
+            torch.from_numpy(t), torch.from_numpy(ctx),
+            pooled=torch.from_numpy(pooled),
+            time_ids=torch.from_numpy(time_ids),
+        ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-4)
