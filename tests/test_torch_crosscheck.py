@@ -430,3 +430,70 @@ def test_unet_sdxl_full_graph_matches_torch_reference():
             time_ids=torch.from_numpy(time_ids),
         ).numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-4)
+
+
+def test_vae_decoder_full_graph_matches_torch_reference():
+    from dreamlab_tpu.models import configs, vae
+    from tests.test_loader import export_vae_decoder
+
+    cfg = configs.TINY_VAE
+    params = vae.init_decoder_params(cfg, np.random.RandomState(2))
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_vae_decoder(params, cfg).items()}
+
+    def conv(key, x, stride=1):
+        w = sd[key + ".weight"]
+        return torch.nn.functional.conv2d(x, w, sd.get(key + ".bias"),
+                                          stride=stride, padding=w.shape[-1] // 2)
+
+    def gn(key, x, eps=1e-5):
+        return torch.nn.functional.group_norm(
+            x, cfg.norm_groups, sd[key + ".weight"], sd[key + ".bias"], eps)
+
+    def resnet(key, x):
+        h = conv(key + ".conv1", torch.nn.functional.silu(gn(key + ".norm1", x)))
+        h = conv(key + ".conv2", torch.nn.functional.silu(gn(key + ".norm2", h)))
+        if key + ".conv_shortcut.weight" in sd:
+            x = conv(key + ".conv_shortcut", x)
+        return x + h
+
+    def mid_attn(key, x):
+        b, c, hh, ww = x.shape
+        h = torch.nn.functional.group_norm(
+            x, cfg.norm_groups, sd[key + ".group_norm.weight"],
+            sd[key + ".group_norm.bias"], 1e-6)
+        h = h.permute(0, 2, 3, 1).reshape(b, hh * ww, c)
+
+        def lin(k2, inp):
+            return torch.nn.functional.linear(inp, sd[k2 + ".weight"],
+                                              sd.get(k2 + ".bias"))
+
+        q = lin(key + ".to_q", h)[:, None]
+        k = lin(key + ".to_k", h)[:, None]
+        v = lin(key + ".to_v", h)[:, None]
+        o = torch.nn.functional.scaled_dot_product_attention(q, k, v)[:, 0]
+        o = lin(key + ".to_out.0", o)
+        return o.reshape(b, hh, ww, c).permute(0, 3, 1, 2) + x
+
+    rs = np.random.RandomState(9)
+    lat = rs.randn(1, 8, 8, 4).astype(np.float32)
+    got = np.asarray(vae.decode(params, cfg, jnp.asarray(lat)))
+
+    with torch.no_grad():
+        x = torch.from_numpy(lat.transpose(0, 3, 1, 2))
+        x = conv("post_quant_conv", x)
+        x = conv("decoder.conv_in", x)
+        x = resnet("decoder.mid_block.resnets.0", x)
+        x = mid_attn("decoder.mid_block.attentions.0", x)
+        x = resnet("decoder.mid_block.resnets.1", x)
+        n = len(cfg.block_out_channels)
+        for k in range(n):
+            for j in range(cfg.layers_per_block + 1):
+                x = resnet(f"decoder.up_blocks.{k}.resnets.{j}", x)
+            if k < n - 1:
+                x = torch.nn.functional.interpolate(x, scale_factor=2,
+                                                    mode="nearest")
+                x = conv(f"decoder.up_blocks.{k}.upsamplers.0.conv", x)
+        x = torch.nn.functional.silu(gn("decoder.conv_norm_out", x))
+        want = conv("decoder.conv_out", x).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-4)
