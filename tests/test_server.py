@@ -435,3 +435,42 @@ def test_dreams_unavailable_503():
     assert loop.run_until_complete(go()) == 503
     loop.run_until_complete(cl.close())
     loop.close()
+
+
+def test_request_logger_config(monkeypatch):
+    from dreamlab_tpu.serving.request_logger import (
+        RequestLoggerConfig,
+        _body_summary,
+        _headers_summary,
+    )
+
+    monkeypatch.setenv("LOG_REQUESTS", "1")
+    monkeypatch.setenv("LOG_PATH_DENYLIST", "/health,/metrics")
+    monkeypatch.setenv("LOG_PATH_PREFIXES", "")
+    cfg = RequestLoggerConfig()
+    assert cfg.should_log("/generate")
+    assert not cfg.should_log("/health")
+    assert not cfg.should_log("/metrics/x")
+
+    monkeypatch.setenv("LOG_PATH_PREFIXES", "/api")
+    cfg = RequestLoggerConfig()
+    assert cfg.should_log("/api/modes")
+    assert not cfg.should_log("/generate")
+
+    monkeypatch.setenv("LOG_REQUESTS", "0")
+    assert not RequestLoggerConfig().should_log("/api/modes")
+
+    # redaction + allowlist
+    hdrs = {"Authorization": "secret", "Content-Type": "application/json",
+            "X-Custom": "hidden"}
+    out = _headers_summary(hdrs)
+    assert "secret" not in out and "<redacted>" in out
+    assert "application/json" in out
+    assert "X-Custom" not in out
+
+    # body summaries
+    assert _body_summary(b'{"a": 1}', "application/json", 100) == '{"a":1}'
+    long = json.dumps({"k": "v" * 100}).encode()
+    assert _body_summary(long, "application/json", 20).endswith("…")
+    assert "multipart" in _body_summary(b"xx", "multipart/form-data", 100)
+    assert _body_summary(b"\x00\x01", "application/octet-stream", 100) == "<2 bytes>"
