@@ -77,7 +77,10 @@ def _pad_last(x, target):
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q"))
-def flash_attention(q, k, v, *, scale: float, block_q: int = 256):
+def flash_attention(q, k, v, *, scale: float, block_q: int = 512):
+    # block_q=512 measured fastest on v5e across SD shapes: 1.15x XLA at
+    # SD1.5 4096×d40 and 1.7-2.6x XLA at SDXL 16384/4096×d64
+    # (docs/PERFORMANCE.md); callers pass smaller blocks only for short N.
     """[B, N, H, D] attention via the Pallas flash kernel.
 
     N must be a multiple of ``block_q``; D ≤ 128; M is padded+masked
