@@ -147,11 +147,27 @@ class WorkerPool:
         return create_tpu_worker(worker_id, model_path)
 
     def _load_mode(self, mode_name: str):
+        import os
+
         mode = self.mode_config.get_mode(mode_name)
         self._unload_current_worker()
         used_before = self.registry.get_used_hbm()
         t0 = time.time()
         worker = self._factory(0, mode.model)
+        # pre-compile the mode's default bucket so the first request after a
+        # switch never compiles (reference budget: 10-20 s total switch,
+        # README.md:394-397; with the persistent cache this is a disk load)
+        if os.environ.get("WARMUP", "1") not in ("0", "false", "False"):
+            pipeline = getattr(worker, "pipeline", None)
+            size = mode.default_size()
+            if pipeline is not None and size:
+                try:
+                    from .base import parse_size
+
+                    w, h = parse_size(size)
+                    pipeline.warmup(h, w, steps=mode.default_steps() or 4)
+                except Exception:
+                    logger.exception("mode %s warmup failed", mode_name)
         hbm = max(self.registry.get_used_hbm() - used_before, 0)
         if hbm == 0:
             hbm = self.registry.estimate_model_hbm(mode.model)

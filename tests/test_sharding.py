@@ -61,3 +61,17 @@ def test_tp_sharding_tree_structure(bundle):
     # at least the attention projections must actually shard
     specs = [s.spec for s in flat_s]
     assert any("model" in str(s) for s in specs)
+
+
+def test_sdxl_tensor_parallel_matches_single_device():
+    bundle_xl = random_bundle("sdxl", tiny=True)
+    kw = dict(height=32, width=32, num_inference_steps=2, seed=6, batch=4,
+              guidance_scale=7.5, negative_prompt="bad")
+    single = LCMPipeline(bundle_xl, dtype=jnp.float32)
+    res_s = single.generate("a castle", **kw)
+    mesh = make_mesh(4, model=2)
+    tp = LCMPipeline(bundle_xl, dtype=jnp.float32, mesh=mesh,
+                     tensor_parallel=True)
+    res_tp = tp.generate("a castle", **kw)
+    diff = np.abs(res_tp.images.astype(int) - res_s.images.astype(int))
+    assert diff.max() <= 1
