@@ -63,7 +63,10 @@ def create_tpu_worker(
     if pipeline_factory is not None:
         pipeline = pipeline_factory(model_path)
     else:
-        bundle = load_pipeline(model_path)
+        # load_vae_encoder: production workers must serve /v1/img2img and
+        # /v1/inpaint, which need encoder weights; the loader skips them
+        # gracefully when the vae file carries no encoder.* tensors.
+        bundle = load_pipeline(model_path, load_vae_encoder=True)
         pipeline = LCMPipeline(
             bundle,
             dtype=dtype or jnp.bfloat16,

@@ -49,6 +49,9 @@ class UNetConfig:
     mid_block_transformer_layers: int = 1
     flip_sin_to_cos: bool = True
     freq_shift: float = 0.0
+    # attention dispatch: 'auto' | 'flash' | 'xla' (ops/attention.py) —
+    # static per config, so it is part of the traced program
+    attention_impl: str = "auto"
 
     @property
     def time_embed_dim(self) -> int:
@@ -72,6 +75,7 @@ class VAEConfig:
     norm_groups: int = 32
     scaling_factor: float = 0.18215
     mid_attention: bool = True
+    attention_impl: str = "auto"  # 'auto' | 'flash' | 'xla'
 
     @property
     def scale_factor(self) -> int:

@@ -62,7 +62,7 @@ def _resnet(p, x, emb, *, groups):
     return x + h
 
 
-def _attention(p, x, context, *, heads):
+def _attention(p, x, context, *, heads, impl="auto"):
     """Multi-head attention over token axis. x: [B, N, C]; context: [B, M, Cc]
     or None for self-attention."""
     b, n, c = x.shape
@@ -71,20 +71,20 @@ def _attention(p, x, context, *, heads):
     q = linear(p["q"], x).reshape(b, n, heads, d)
     k = linear(p["k"], ctx).reshape(b, ctx.shape[1], heads, d)
     v = linear(p["v"], ctx).reshape(b, ctx.shape[1], heads, d)
-    out = dot_product_attention(q, k, v)
+    out = dot_product_attention(q, k, v, impl=impl)
     return linear(p["out"], out.reshape(b, n, c))
 
 
-def _transformer_block(p, x, context, *, heads):
+def _transformer_block(p, x, context, *, heads, impl="auto"):
     """BasicTransformerBlock: self-attn, cross-attn, GEGLU FF (pre-LN)."""
-    x = x + _attention(p["attn1"], layer_norm(p["ln1"], x), None, heads=heads)
-    x = x + _attention(p["attn2"], layer_norm(p["ln2"], x), context, heads=heads)
+    x = x + _attention(p["attn1"], layer_norm(p["ln1"], x), None, heads=heads, impl=impl)
+    x = x + _attention(p["attn2"], layer_norm(p["ln2"], x), context, heads=heads, impl=impl)
     h = layer_norm(p["ln3"], x)
     h = linear(p["ff_out"], geglu(p["ff_geglu"], h))
     return x + h
 
 
-def _spatial_transformer(p, x, context, *, heads, groups):
+def _spatial_transformer(p, x, context, *, heads, groups, impl="auto"):
     """Transformer2DModel: GN, project in, token-space blocks, project out,
     residual. Projections are channel-wise linear (≡ the 1×1 convs SD1.5
     checkpoints store; the loader flattens them)."""
@@ -93,7 +93,7 @@ def _spatial_transformer(p, x, context, *, heads, groups):
     x = group_norm(p["norm"], x, groups=groups, eps=1e-6)
     x = linear(p["proj_in"], x.reshape(b, h_ * w_, c))
     for blk in p["blocks"]:
-        x = _transformer_block(blk, x, context, heads=heads)
+        x = _transformer_block(blk, x, context, heads=heads, impl=impl)
     x = linear(p["proj_out"], x)
     return x.reshape(b, h_, w_, c) + residual
 
@@ -159,6 +159,7 @@ def forward(
                 x = _spatial_transformer(
                     block["attentions"][j], x, context,
                     heads=heads, groups=cfg.norm_groups,
+                    impl=cfg.attention_impl,
                 )
             skips.append(x)
         if "downsample" in block:
@@ -172,6 +173,7 @@ def forward(
         x = _spatial_transformer(
             mid["attention"], x, context,
             heads=cfg.num_attention_heads[-1], groups=cfg.norm_groups,
+            impl=cfg.attention_impl,
         )
     x = _resnet(mid["resnet2"], x, emb, groups=cfg.norm_groups)
 
@@ -185,6 +187,7 @@ def forward(
                 x = _spatial_transformer(
                     block["attentions"][j], x, context,
                     heads=heads, groups=cfg.norm_groups,
+                    impl=cfg.attention_impl,
                 )
         if "upsample" in block:
             x = conv2d(block["upsample"], nearest_upsample(x))

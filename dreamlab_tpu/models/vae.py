@@ -40,14 +40,16 @@ def _resnet(p, x, *, groups):
     return x + h
 
 
-def _mid_attention(p, x, *, groups):
+def _mid_attention(p, x, *, groups, impl="auto"):
     b, h, w, c = x.shape
     res = x
     x = group_norm(p["norm"], x, groups=groups, eps=1e-6).reshape(b, h * w, c)
     q = linear(p["q"], x)[:, :, None, :]  # single head: [B, N, 1, C]
     k = linear(p["k"], x)[:, :, None, :]
     v = linear(p["v"], x)[:, :, None, :]
-    out = dot_product_attention(q, k, v)[:, :, 0, :]
+    # single-head d=512 exceeds the flash kernel's 128 lanes; only the
+    # forced-xla debugging override is meaningful here
+    out = dot_product_attention(q, k, v, impl="xla" if impl == "xla" else "auto")[:, :, 0, :]
     out = linear(p["out"], out).reshape(b, h, w, c)
     return out + res
 
@@ -55,7 +57,7 @@ def _mid_attention(p, x, *, groups):
 def _mid_block(p, x, cfg: VAEConfig):
     x = _resnet(p["resnet1"], x, groups=cfg.norm_groups)
     if "attention" in p:
-        x = _mid_attention(p["attention"], x, groups=cfg.norm_groups)
+        x = _mid_attention(p["attention"], x, groups=cfg.norm_groups, impl=cfg.attention_impl)
     return _resnet(p["resnet2"], x, groups=cfg.norm_groups)
 
 

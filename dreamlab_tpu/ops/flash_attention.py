@@ -90,7 +90,14 @@ def flash_attention(q, k, v, *, scale: float, block_q: int = 512):
     m = k.shape[1]
     assert d <= LANES, f"head dim {d} > {LANES}"
     block_q = min(block_q, n)
-    assert n % block_q == 0, f"query length {n} not a multiple of {block_q}"
+    if n % block_q != 0:
+        # largest multiple of LANES that divides n and is <= block_q —
+        # non-square sizes like 512x640 give n=1280 (a 128-multiple but not
+        # a 512-multiple); fall to 256 there instead of crashing at trace
+        block_q = (block_q // LANES) * LANES
+        while block_q > LANES and n % block_q != 0:
+            block_q -= LANES
+    assert n % block_q == 0, f"query length {n} not a multiple of {LANES}"
 
     m_pad = ((m + LANES - 1) // LANES) * LANES
     kv_len = None if m_pad == m else m

@@ -78,6 +78,20 @@ class LCMPipeline:
         mesh=None,
         tensor_parallel: bool = False,
     ):
+        if attention_impl != "auto":
+            # thread the override into the static model configs — they are
+            # part of every traced program, so 'flash'/'xla' actually bind
+            import dataclasses as _dc
+
+            bundle = _dc.replace(
+                bundle,
+                unet_cfg=_dc.replace(
+                    bundle.unet_cfg, attention_impl=attention_impl
+                ),
+                vae_cfg=_dc.replace(
+                    bundle.vae_cfg, attention_impl=attention_impl
+                ),
+            )
         self.bundle = bundle
         self.arch = bundle.arch
         self.dtype = dtype
@@ -285,7 +299,10 @@ class LCMPipeline:
                         time_ids, inpaint=(x0, mask_lat, noises_known),
                     )
 
-                return jax.jit(program_inp, donate_argnums=(12, 13, 14))
+                # donate exactly one [B,h,w,4] f32 input — it aliases the
+                # denoised output; step-noise stacks have no matching output
+                # buffer and donating them only triggers XLA warnings
+                return jax.jit(program_inp, donate_argnums=(12,))
 
             def program_i2i(
                 text_params, text_params_2, unet_params, vae_params,
@@ -308,7 +325,7 @@ class LCMPipeline:
                     lat0, noises, schedule, w_emb, guidance, time_ids,
                 )
 
-            return jax.jit(program_i2i, donate_argnums=(11, 12, 13))
+            return jax.jit(program_i2i, donate_argnums=(11,))
 
         def program(
             text_params, text_params_2, unet_params, vae_params,
@@ -336,7 +353,7 @@ class LCMPipeline:
                 latents0, noises, schedule, w_emb, guidance, time_ids,
             )
 
-        donate = (8, 9) if rng_mode == "host" else ()
+        donate = (8,) if rng_mode == "host" else ()
         return jax.jit(program, donate_argnums=donate)
 
     def _get_compiled(self, batch, h_lat, w_lat, steps, cfg_mode,

@@ -240,7 +240,7 @@ async def run_generate(state: ServerState, req: GenerateRequest):
     headers = {
         "X-Seed": str(seed),
         "X-Mode": state.pool.current_mode if state.pool else "legacy",
-        "X-SuperRes": "false",
+        "X-SuperRes": "0",
     }
     media_type = "image/png"
     data = png
@@ -252,7 +252,7 @@ async def run_generate(state: ServerState, req: GenerateRequest):
         )
         data, passes = await _await_future(sr_fut, timeout=cfg.sr_timeout)
         headers.update({
-            "X-SuperRes": "true",
+            "X-SuperRes": "1",
             "X-SR-Passes": str(passes),
             "X-SR-Scale-Per-Pass": "3",
             "X-SR-Model": "espcn-tpu",

@@ -32,8 +32,8 @@ class GenerateRequest(BaseModel):
     style_lora: Optional[StyleLoRARequest] = None
     superres: bool = False
     superres_format: str = "png"
-    superres_quality: int = Field(default=90, ge=1, le=100)
-    superres_magnitude: int = Field(default=1, ge=1, le=3)
+    superres_quality: int = Field(default=92, ge=1, le=100)
+    superres_magnitude: int = Field(default=2, ge=1, le=3)
 
     @field_validator("size")
     @classmethod

@@ -99,6 +99,12 @@ class CLIPTokenizer:
             lines = f.read().split("\n")
         # first line is the "#version" header; drop empties
         merges = [l for l in lines if l and not l.startswith("#")]
+        def special(v):
+            # HF serializes specials either as plain strings or as
+            # AddedToken dicts {"content": "!", ...}
+            return v.get("content") if isinstance(v, dict) else v
+
+        pad = None
         cfg_path = os.path.join(tokenizer_dir, "tokenizer_config.json")
         if os.path.exists(cfg_path):
             with open(cfg_path, encoding="utf-8") as f:
@@ -106,6 +112,16 @@ class CLIPTokenizer:
             kwargs.setdefault(
                 "max_length", cfg.get("model_max_length", 77) or 77
             )
+            pad = special(cfg.get("pad_token"))
+        if pad is None:
+            map_path = os.path.join(tokenizer_dir, "special_tokens_map.json")
+            if os.path.exists(map_path):
+                with open(map_path, encoding="utf-8") as f:
+                    pad = special(json.load(f).get("pad_token"))
+        # SDXL's tokenizer_2 pads with "!" (id 0), not EOS — honour the
+        # checkpoint's declared pad token, keeping the EOS fallback for SD1.5
+        if pad is not None and pad in vocab:
+            kwargs.setdefault("pad_token", pad)
         return cls(vocab, merges, **kwargs)
 
     # ------------------------------------------------------------------

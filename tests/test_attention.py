@@ -55,6 +55,22 @@ def test_flash_matches_xla_interpret(n, m, d):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
+def test_flash_block_q_falls_to_divisor():
+    """Non-square sizes (512x640 → n=1280 at the second UNet level) give
+    query lengths that are 128-multiples but not 512-multiples; block_q must
+    drop to the largest dividing 128-multiple instead of crashing at trace
+    (ADVICE round 1)."""
+    rs = np.random.RandomState(3)
+    q, k, v = _rand_qkv(rs, 1, 1280, 1280, 1, 40)
+    scale = 40**-0.5
+    want = np.asarray(_xla_attention(q, k, v, scale))
+    with pltpu.force_tpu_interpret_mode():
+        from dreamlab_tpu.ops.flash_attention import flash_attention
+
+        got = np.asarray(flash_attention(q, k, v, scale=scale, block_q=512))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
 def test_dispatcher_falls_back_off_tpu():
     rs = np.random.RandomState(2)
     q, k, v = _rand_qkv(rs, 1, 256, 256, 2, 40)

@@ -188,3 +188,22 @@ def test_inpaint_mask_validation(pipe):
     img = np.zeros((32, 32, 3), np.uint8)
     with pytest.raises(ValueError):
         pipe.inpaint("x", img, np.zeros((16, 16), np.uint8))
+
+
+def test_attention_impl_threads_into_configs():
+    """attention_impl='xla' must actually bind into the traced programs
+    (round-1 ADVICE: it was stored but never threaded)."""
+    import jax.numpy as jnp
+
+    from dreamlab_tpu.pipeline import LCMPipeline
+    from dreamlab_tpu.testing import random_bundle
+
+    bundle = random_bundle("sd15", tiny=True)
+    pipe = LCMPipeline(bundle, dtype=jnp.float32, attention_impl="xla")
+    assert pipe.bundle.unet_cfg.attention_impl == "xla"
+    assert pipe.bundle.vae_cfg.attention_impl == "xla"
+    res = pipe.generate("t", height=32, width=32, num_inference_steps=1, seed=0)
+    assert res.images.shape == (1, 32, 32, 3)
+    # default stays auto
+    pipe2 = LCMPipeline(random_bundle("sd15", tiny=True), dtype=jnp.float32)
+    assert pipe2.bundle.unet_cfg.attention_impl == "auto"

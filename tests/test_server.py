@@ -86,7 +86,7 @@ def test_generate_returns_png_with_headers(client):
     assert body[:8] == b"\x89PNG\r\n\x1a\n"
     assert resp.headers["X-Seed"] == "7"
     assert resp.headers["X-Mode"] == "alpha"
-    assert resp.headers["X-SuperRes"] == "false"
+    assert resp.headers["X-SuperRes"] == "0"
     assert resp.headers["X-LCM-Image-Key"].startswith("lcm:")
     assert resp.headers["Access-Control-Allow-Origin"] == "*"
 
@@ -124,7 +124,7 @@ def test_generate_with_superres(client):
         **GEN, "superres": True, "superres_magnitude": 1,
     })
     assert resp.status == 200
-    assert resp.headers["X-SuperRes"] == "true"
+    assert resp.headers["X-SuperRes"] == "1"
     assert resp.headers["X-SR-Passes"] == "1"
     from PIL import Image
 

@@ -98,3 +98,35 @@ def test_from_pretrained_layout(tmp_path):
     (d / "tokenizer_config.json").write_text(json.dumps({"model_max_length": 77}))
     loaded = CLIPTokenizer.from_pretrained(str(d))
     np.testing.assert_array_equal(loaded("a sun"), tok("a sun"))
+
+
+def test_from_pretrained_reads_pad_token(tmp_path):
+    """SDXL's tokenizer_2 pads with "!" (id 0), not EOS — from_pretrained
+    must honour the checkpoint's declared pad token (round-1 ADVICE)."""
+    tok = make_test_tokenizer(["sun"])
+    d = tmp_path / "tokenizer_2"
+    d.mkdir()
+    (d / "vocab.json").write_text(json.dumps(tok.encoder))
+    merges = ["#version: 0.2"] + [" ".join(p) for p in sorted(
+        tok.bpe_ranks, key=tok.bpe_ranks.get
+    )]
+    (d / "merges.txt").write_text("\n".join(merges) + "\n")
+    (d / "tokenizer_config.json").write_text(json.dumps({
+        "model_max_length": 77,
+        "pad_token": {"content": "!", "lstrip": False},
+    }))
+    loaded = CLIPTokenizer.from_pretrained(str(d))
+    assert loaded.pad_id == tok.encoder["!"]
+    row = loaded("a sun")[0]
+    assert row[-1] == tok.encoder["!"]
+
+    # the EOS fallback stays for SD1.5-style dirs without a declared pad
+    d2 = tmp_path / "tokenizer"
+    d2.mkdir()
+    (d2 / "vocab.json").write_text(json.dumps(tok.encoder))
+    (d2 / "merges.txt").write_text("\n".join(merges) + "\n")
+    (d2 / "special_tokens_map.json").write_text(json.dumps({
+        "pad_token": "<|endoftext|>",
+    }))
+    loaded2 = CLIPTokenizer.from_pretrained(str(d2))
+    assert loaded2.pad_id == loaded2.eos_id
