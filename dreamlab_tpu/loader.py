@@ -184,7 +184,9 @@ def text_config_from_json(raw: Dict[str, Any], *, penultimate: bool = False) -> 
         layer_norm_eps=raw.get("layer_norm_eps", 1e-5),
         penultimate=penultimate,
         projection_dim=(
-            raw.get("projection_dim") if "WithProjection" in arch else None
+            raw.get("projection_dim")
+            if ("WithProjection" in arch or arch == "CLIPModel")
+            else None
         ),
     )
 
@@ -440,6 +442,105 @@ def convert_clip_text(tensors: Dict[str, np.ndarray], cfg: CLIPTextConfig) -> Di
     if cfg.projection_dim is not None and w.has("text_projection.weight"):
         params["text_projection"] = w.linear("text_projection")
     return params
+
+
+def convert_clip_vision(tensors: Dict[str, np.ndarray], cfg) -> Dict:
+    """HF CLIPVisionModel state dict → clip_vision param tree.
+
+    Accepts both ``pre_layrnorm`` (HF's historical misspelling) and
+    ``pre_layernorm`` key variants.
+    """
+    w = _W(tensors)
+    pre = "vision_model."
+    layers = []
+    for i in range(cfg.num_layers):
+        b = f"{pre}encoder.layers.{i}"
+        layers.append(
+            {
+                "ln1": w.norm(b + ".layer_norm1"),
+                "attn": {
+                    "q": w.linear(b + ".self_attn.q_proj"),
+                    "k": w.linear(b + ".self_attn.k_proj"),
+                    "v": w.linear(b + ".self_attn.v_proj"),
+                    "out": w.linear(b + ".self_attn.out_proj"),
+                },
+                "ln2": w.norm(b + ".layer_norm2"),
+                "fc1": w.linear(b + ".mlp.fc1"),
+                "fc2": w.linear(b + ".mlp.fc2"),
+            }
+        )
+    pre_ln_key = (
+        pre + "pre_layrnorm"
+        if w.has(pre + "pre_layrnorm.weight")
+        else pre + "pre_layernorm"
+    )
+    return {
+        "patch_embedding": {
+            "w": np.ascontiguousarray(
+                w.raw(pre + "embeddings.patch_embedding.weight").transpose(2, 3, 1, 0)
+            )
+        },
+        "class_embedding": w.raw(pre + "embeddings.class_embedding"),
+        "position_embedding": w.embedding(pre + "embeddings.position_embedding"),
+        "pre_ln": w.norm(pre_ln_key),
+        "layers": layers,
+        "post_ln": w.norm(pre + "post_layernorm"),
+        "visual_projection": w.linear("visual_projection"),
+    }
+
+
+def clip_vision_config_from_json(cfg_json: Dict):
+    from .models.configs import CLIPVisionConfig
+
+    return CLIPVisionConfig(
+        image_size=cfg_json.get("image_size", 224),
+        patch_size=cfg_json.get("patch_size", 32),
+        hidden_size=cfg_json.get("hidden_size", 768),
+        num_layers=cfg_json.get("num_hidden_layers", 12),
+        num_heads=cfg_json.get("num_attention_heads", 12),
+        intermediate_size=cfg_json.get("intermediate_size", 3072),
+        hidden_act=cfg_json.get("hidden_act", "quick_gelu"),
+        layer_norm_eps=cfg_json.get("layer_norm_eps", 1e-5),
+        projection_dim=cfg_json.get("projection_dim", 512),
+    )
+
+
+def load_clip_model(model_dir: str):
+    """Load an HF CLIPModel directory (config.json with text_config +
+    vision_config, model.safetensors, tokenizer files) into a NativeCLIP —
+    the torch-free scorer backend for Yume (yume/scoring.NativeCLIP)."""
+    from .utils.tokenizer import CLIPTokenizer
+    from .yume.scoring import NativeCLIP
+
+    cfg_json = _read_json(os.path.join(model_dir, "config.json"))
+    tjson, vjson = cfg_json["text_config"], cfg_json["vision_config"]
+    proj = cfg_json.get("projection_dim", 512)
+    text_cfg = CLIPTextConfig(
+        vocab_size=tjson.get("vocab_size", 49408),
+        hidden_size=tjson.get("hidden_size", 512),
+        num_layers=tjson.get("num_hidden_layers", 12),
+        num_heads=tjson.get("num_attention_heads", 8),
+        max_position_embeddings=tjson.get("max_position_embeddings", 77),
+        intermediate_size=tjson.get("intermediate_size", 2048),
+        hidden_act=tjson.get("hidden_act", "quick_gelu"),
+        layer_norm_eps=tjson.get("layer_norm_eps", 1e-5),
+        projection_dim=proj,
+    )
+    vision_cfg = clip_vision_config_from_json({**vjson, "projection_dim": proj})
+    weights = find_weights_file(model_dir)
+    if weights is None:
+        raise FileNotFoundError(f"no safetensors weights in {model_dir}")
+    tensors = _load_safetensors(weights)
+    tok_dir = model_dir
+    if os.path.isdir(os.path.join(model_dir, "tokenizer")):
+        tok_dir = os.path.join(model_dir, "tokenizer")
+    return NativeCLIP(
+        text_params=convert_clip_text(tensors, text_cfg),
+        text_cfg=text_cfg,
+        vision_params=convert_clip_vision(tensors, vision_cfg),
+        vision_cfg=vision_cfg,
+        tokenizer=CLIPTokenizer.from_pretrained(tok_dir),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -30,6 +30,26 @@ class CLIPTextConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class CLIPVisionConfig:
+    """ViT image tower (HF CLIPVisionModel layout) — used by Yume's native
+    CLIP scorer (reference yume/scoring.py:27-130 runs a torch CLIPModel)."""
+
+    image_size: int = 224
+    patch_size: int = 32
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    hidden_act: str = "quick_gelu"
+    layer_norm_eps: float = 1e-5
+    projection_dim: int = 512
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+
+@dataclasses.dataclass(frozen=True)
 class UNetConfig:
     in_channels: int = 4
     out_channels: int = 4
@@ -134,6 +154,13 @@ SDXL_VAE = VAEConfig(scaling_factor=0.13025)
 
 SUPERRES = SuperResConfig()
 
+CLIP_VIT_B32_VISION = CLIPVisionConfig()
+
+CLIP_VIT_B32_TEXT = CLIPTextConfig(
+    hidden_size=512, num_layers=12, num_heads=8, intermediate_size=2048,
+    projection_dim=512,
+)
+
 # Tiny presets: same topology, toy widths — used by the CPU test suite.
 TINY_TEXT = CLIPTextConfig(
     vocab_size=128, hidden_size=32, num_layers=2, num_heads=2,
@@ -168,4 +195,9 @@ TINY_UNET_XL = UNetConfig(
 TINY_VAE = VAEConfig(
     latent_channels=4, block_out_channels=(16, 32), layers_per_block=1,
     norm_groups=8,
+)
+
+TINY_VISION = CLIPVisionConfig(
+    image_size=32, patch_size=8, hidden_size=32, num_layers=2, num_heads=2,
+    intermediate_size=64, projection_dim=16,
 )

@@ -34,7 +34,19 @@ def _try_redis():
 
 
 def _try_clip_scorer():
+    """Degradation ladder (reference dream_init.py:104-126 adapted TPU-first):
+    native JAX CLIP (local HF CLIPModel dir) → transformers CLIPModel
+    (hub name / torch) → aesthetic heuristic."""
     model_name = os.environ.get("YUME_CLIP_MODEL", "openai/clip-vit-base-patch32")
+    if os.path.isdir(model_name):
+        try:
+            from ..loader import load_clip_model
+
+            native = load_clip_model(model_name)
+            logger.info("yume: native CLIP scorer loaded (%s)", model_name)
+            return CLIPScorer(native)
+        except Exception as e:
+            logger.warning("yume: native CLIP load failed (%s)", e)
     try:
         from transformers import CLIPModel, CLIPProcessor
 

@@ -44,6 +44,61 @@ class CLIPScorer:
         return [float(np.clip(s, 0.0, 1.0)) for s in sims]
 
 
+class NativeCLIP:
+    """Torch-free CLIP scorer backend: JAX text + vision towers.
+
+    Closes the round-1 gap where CLIP scoring needed a transformers
+    CLIPModel (unavailable without pretrained torch weights in the serving
+    image). Both towers are jitted once — candidate batches score in a
+    single device call. Construct via ``loader.load_clip_model(dir)`` or
+    directly from param trees (tests use tiny random towers).
+    """
+
+    def __init__(self, *, text_params, text_cfg, vision_params, vision_cfg,
+                 tokenizer, dtype=None):
+        import jax
+        import jax.numpy as jnp
+
+        from ..models import clip_text, clip_vision
+        from ..models.layers import cast_tree
+
+        self.vision_cfg = vision_cfg
+        self.tokenizer = tokenizer
+        if dtype is not None:
+            text_params = cast_tree(text_params, dtype)
+            vision_params = cast_tree(vision_params, dtype)
+        self._text_params = text_params
+        self._vision_params = vision_params
+
+        @jax.jit
+        def _embed_text(params, ids):
+            _, pooled = clip_text.encode_text(params, ids, text_cfg)
+            return pooled.astype(jnp.float32)
+
+        @jax.jit
+        def _embed_images(params, pixels):
+            return clip_vision.encode_image(params, pixels, vision_cfg).astype(
+                jnp.float32
+            )
+
+        self._embed_text_fn = _embed_text
+        self._embed_images_fn = _embed_images
+
+    def embed_text(self, prompt: str) -> np.ndarray:
+        import jax.numpy as jnp
+
+        ids = jnp.asarray(self.tokenizer(prompt))
+        return np.asarray(self._embed_text_fn(self._text_params, ids))[0]
+
+    def embed_images(self, images) -> np.ndarray:
+        import jax.numpy as jnp
+
+        from ..models.clip_vision import preprocess_images
+
+        pixels = jnp.asarray(preprocess_images(images, self.vision_cfg))
+        return np.asarray(self._embed_images_fn(self._vision_params, pixels))
+
+
 class HFCLIPAdapter:
     """Wrap a transformers CLIPModel+processor into the scorer interface."""
 
