@@ -37,11 +37,40 @@ def detect_worker_type(model_path: str) -> str:
     return info.arch
 
 
+def apply_mode_loras(pipeline, loras) -> None:
+    """Merge a mode's LoRAs (with per-LoRA strengths) into pipeline weights.
+
+    The reference loads LoRAs at worker init but never applies the per-mode
+    strengths (worker_pool.py:234-237 TODO; cuda_worker.py:123-147) —
+    SURVEY §7.2(8) told this rebuild to close that gap. Merging here, before
+    the worker snapshots its style baseline, means per-request style LoRAs
+    compose on top of the mode's adapters.
+    """
+    from ..lora import load_lora, merge_lora_into_tree
+
+    for entry in loras or []:
+        t0 = time.time()
+        tensors = load_lora(entry.file)
+        pipeline.unet_params = merge_lora_into_tree(
+            pipeline.unet_params, tensors.unet, entry.strength
+        )
+        if tensors.text:
+            pipeline.text_params = merge_lora_into_tree(
+                pipeline.text_params, tensors.text, entry.strength
+            )
+        logger.info(
+            "mode lora %s (strength %.2f, %d modules) merged in %.0f ms",
+            entry.file, entry.strength, tensors.num_modules,
+            1e3 * (time.time() - t0),
+        )
+
+
 def create_tpu_worker(
     worker_id: int,
     model_path: str,
     *,
     styles: Optional[Dict[str, StyleDef]] = None,
+    loras=None,
     dtype=None,
     mesh=None,
     tensor_parallel: bool = False,
@@ -50,6 +79,8 @@ def create_tpu_worker(
 ):
     """Load a checkpoint dir and wrap it in a TPUPipelineWorker.
 
+    loras: sequence of mode LoRA configs ({file, strength}) merged into the
+    loaded weights before the worker snapshots its style baseline.
     pipeline_factory: injectable for tests (returns an LCMPipeline-like).
     """
     import jax.numpy as jnp
@@ -73,6 +104,8 @@ def create_tpu_worker(
             mesh=mesh,
             tensor_parallel=tensor_parallel,
         )
+    if loras:
+        apply_mode_loras(pipeline, loras)
     logger.info(
         "worker %d: loaded %s (%s) in %.1fs",
         worker_id, model_path, arch, time.time() - t0,

@@ -141,19 +141,32 @@ class WorkerPool:
 
     # ------------------------------------------------------------------
     @staticmethod
-    def _default_factory(worker_id: int, model_path: str):
+    def _default_factory(worker_id: int, model_path: str, *, loras=None):
         from .worker_factory import create_tpu_worker
 
-        return create_tpu_worker(worker_id, model_path)
+        return create_tpu_worker(worker_id, model_path, loras=loras)
 
     def _load_mode(self, mode_name: str):
+        import inspect
         import os
 
         mode = self.mode_config.get_mode(mode_name)
         self._unload_current_worker()
         used_before = self.registry.get_used_hbm()
         t0 = time.time()
-        worker = self._factory(0, mode.model)
+        # per-mode LoRAs (with strengths) merge at load — injected test
+        # factories with the plain (worker_id, model_path) signature still work
+        try:
+            sig = inspect.signature(self._factory)
+            takes_loras = "loras" in sig.parameters or any(
+                p.kind is p.VAR_KEYWORD for p in sig.parameters.values()
+            )
+        except (TypeError, ValueError):
+            takes_loras = False
+        if takes_loras and mode.loras:
+            worker = self._factory(0, mode.model, loras=mode.loras)
+        else:
+            worker = self._factory(0, mode.model)
         # pre-compile the mode's default bucket so the first request after a
         # switch never compiles (reference budget: 10-20 s total switch,
         # README.md:394-397; with the persistent cache this is a disk load)
