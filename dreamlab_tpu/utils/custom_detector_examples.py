@@ -60,8 +60,45 @@ def license_detector(info: ModelInfo) -> Optional[ModelInfo]:
     return info
 
 
+def lora_strength_analyzer(info: ModelInfo) -> Optional[ModelInfo]:
+    """Suggest strength levels from LoRA tensor magnitudes (reference
+    custom_detector_example.py:163-219): sample up-projection tensors, take
+    the mean absolute magnitude, and map it to a ladder — small deltas want
+    higher strengths, large deltas want gentler ones."""
+    if not info.is_lora or not info.path.endswith(".safetensors"):
+        return info
+    try:
+        import numpy as np
+        from safetensors import safe_open
+
+        magnitudes = []
+        with safe_open(info.path, framework="numpy") as f:
+            lora_keys = [k for k in f.keys() if "lora" in k.lower()][:10]
+            for key in lora_keys:
+                magnitudes.append(float(np.abs(f.get_tensor(key)).mean()))
+        if magnitudes:
+            avg = float(np.mean(magnitudes))
+            if avg < 0.01:
+                ladder = [0.8, 1.0, 1.2, 1.5]
+            elif avg < 0.05:
+                ladder = [0.6, 0.8, 1.0, 1.2]
+            else:
+                ladder = [0.4, 0.6, 0.8, 1.0]
+            info.extra["lora_avg_magnitude"] = avg
+            info.extra["suggested_strength_levels"] = ladder
+    except Exception as e:
+        info.extra["lora_analysis_error"] = str(e)
+    return info
+
+
 def make_extended_detector() -> ModelDetector:
     det = ModelDetector()
-    for extra in (lcm_detector, turbo_detector, refiner_detector, license_detector):
+    for extra in (
+        lcm_detector,
+        turbo_detector,
+        refiner_detector,
+        license_detector,
+        lora_strength_analyzer,
+    ):
         det.add_detector(extra)
     return det

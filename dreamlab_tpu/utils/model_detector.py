@@ -105,6 +105,72 @@ def safetensors_detector(info: ModelInfo) -> Optional[ModelInfo]:
     return info
 
 
+def _pickle_strings(data: bytes) -> List[str]:
+    """Collect string opcode arguments from a pickle stream WITHOUT
+    executing it — enough to read a torch state dict's key names (the keys
+    are BINUNICODE ops) with zero deserialization risk."""
+    import pickletools
+
+    out: List[str] = []
+    try:
+        for op, arg, _pos in pickletools.genops(data):
+            if op.name in (
+                "BINUNICODE", "SHORT_BINUNICODE", "BINUNICODE8", "UNICODE",
+                "STRING", "SHORT_BINSTRING", "BINSTRING",
+            ) and isinstance(arg, str):
+                out.append(arg)
+    except Exception:
+        pass  # truncated/corrupt stream: return what we saw
+    return out
+
+
+def checkpoint_detector(info: ModelInfo) -> Optional[ModelInfo]:
+    """Torch .ckpt/.pt/.pth files (reference CheckpointDetector,
+    model_detector.py:336-388) — key names are read from the pickle stream
+    via pickletools.genops, never torch.load: no code execution, no tensor
+    data materialized."""
+    ext = os.path.splitext(info.path)[1].lower()
+    if not (os.path.isfile(info.path) and ext in (".ckpt", ".pt", ".pth")):
+        return None
+    import zipfile
+
+    info.format = "checkpoint"
+    keys: List[str] = []
+    try:
+        if zipfile.is_zipfile(info.path):
+            with zipfile.ZipFile(info.path) as zf:
+                pkls = [n for n in zf.namelist() if n.endswith("data.pkl")]
+                if pkls:
+                    keys = _pickle_strings(zf.read(pkls[0]))
+        else:  # legacy raw-pickle .ckpt
+            with open(info.path, "rb") as f:
+                keys = _pickle_strings(f.read())
+    except Exception as e:
+        info.extra["checkpoint_error"] = str(e)
+        return info
+
+    if any("lora" in k.lower() for k in keys):
+        info.is_lora = True
+        info.format = "lora"
+        has_te2 = any("text_encoder_2" in k or "lora_te2" in k for k in keys)
+        info.cross_attention_dim = 2048 if has_te2 else 768
+        return info
+
+    has_te2 = any(
+        "text_encoder_2" in k or "conditioner.embedders.1" in k for k in keys
+    )
+    info.extra["has_dual_text_encoders"] = has_te2
+    if has_te2:
+        info.cross_attention_dim = 2048
+    elif any(k.endswith("attn2.to_k.weight") for k in keys):
+        # single-tower UNet present: SD1.x-class (shapes are not in the
+        # pickle stream, so 768 is the reference's same assumption)
+        info.cross_attention_dim = 768
+    elif keys:
+        info.cross_attention_dim = 768
+    return info
+
+
 def variant_classifier(info: ModelInfo) -> Optional[ModelInfo]:
     """(reference VariantClassifier, model_detector.py:391-451)."""
     cad = info.cross_attention_dim
@@ -114,20 +180,53 @@ def variant_classifier(info: ModelInfo) -> Optional[ModelInfo]:
     return info
 
 
+def _recommended_sizes(native_px: int) -> List[str]:
+    """Reference size table (model_detector.py:669-693): the SDXL bucket
+    ladder above 1024, the conservative SD set below."""
+    if native_px >= 1024:
+        return [
+            "1024x1024", "1152x896", "1216x832", "1344x768", "1536x640",
+            "896x1152", "832x1216", "768x1344", "640x1536",
+        ]
+    return ["512x512", "640x512", "768x512", "512x640", "512x768"]
+
+
 def resolution_detector(info: ModelInfo) -> Optional[ModelInfo]:
-    """Size policy per variant (reference ResolutionDetector,
-    model_detector.py:563-693)."""
-    native = {"SD15": 512, "SD21": 768, "SDXL": 1024}.get(info.variant or "")
+    """Size policy (reference ResolutionDetector, model_detector.py:563-693):
+    diffusers ``unet.config.sample_size`` when available, variant heuristic
+    otherwise; LoRAs get a policy note instead of a fake native size."""
+    down = 8
+    if info.is_lora:
+        info.extra["size_policy"] = {
+            "note": "LoRA has no native resolution; policy determined by base model.",
+            "divisible_by_px": down,
+            "downsample_factor": down,
+            "source": "lora",
+        }
+        return info
+
+    native = None
+    source = "heuristic:variant"
+    cfg = info.extra.get("unet_config")
+    sample_size = cfg.get("sample_size") if isinstance(cfg, dict) else None
+    if isinstance(sample_size, int) and sample_size > 0:
+        native = sample_size * down
+        source = "diffusers:unet.config"
+    if native is None:
+        native = {"SD15": 512, "SD21": 768, "SDXL": 1024}.get(info.variant or "")
     if native is None:
         return info
     info.native_size = native
-    info.downsample = 8
-    ladder = {
-        "SD15": ["384x384", "512x512", "512x768", "768x512", "768x768"],
-        "SD21": ["512x512", "768x768"],
-        "SDXL": ["768x768", "1024x1024", "896x1152", "1152x896"],
-    }[info.variant]
-    info.recommended_sizes = ladder
+    info.downsample = down
+    info.recommended_sizes = _recommended_sizes(native)
+    info.extra["size_policy"] = {
+        "downsample_factor": down,
+        "divisible_by_px": down,
+        "latent_sample_size": native // down,
+        "native_resolution_px": native,
+        "recommended_sizes": info.recommended_sizes,
+        "source": source,
+    }
     return info
 
 
@@ -149,6 +248,7 @@ def compatibility_resolver(info: ModelInfo) -> Optional[ModelInfo]:
 DEFAULT_STACK: List[Detector] = [
     diffusers_dir_detector,
     safetensors_detector,
+    checkpoint_detector,
     variant_classifier,
     resolution_detector,
     compatibility_resolver,

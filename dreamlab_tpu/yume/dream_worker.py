@@ -19,6 +19,7 @@ import dataclasses
 import hashlib
 import io
 import logging
+import os
 import time
 from collections import deque
 from typing import Deque, Dict, List, Optional
@@ -265,9 +266,13 @@ class DreamWorker:
         finally:
             await loop.run_in_executor(None, self._finalize)
 
-    def _finalize(self, max_renders: int = 5):
-        """Render top unrendered candidates at session end
-        (reference dream_worker.py:496-513)."""
+    def _finalize(self, max_renders: Optional[int] = None):
+        """Render top unrendered candidates at session end.
+
+        Parity: the reference renders up to 50 at finalize
+        (dream_worker.py:496-513); override via YUME_FINALIZE_RENDERS."""
+        if max_renders is None:
+            max_renders = int(os.environ.get("YUME_FINALIZE_RENDERS", "50"))
         pending = sorted(
             (c for c in self.top if c.rendered_png is None),
             key=lambda c: -c.score,
