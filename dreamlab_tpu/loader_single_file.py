@@ -220,23 +220,274 @@ def _translate_text(tensors: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return out
 
 
+def _translate_text_openclip(
+    tensors: Dict[str, np.ndarray],
+    prefix: str = "conditioner.embedders.1.model.",
+) -> Dict[str, np.ndarray]:
+    """OpenCLIP bigG (SDXL text tower 2) → transformers CLIPText names.
+
+    The two formats differ in attention packing: OpenCLIP stores one fused
+    ``attn.in_proj_weight`` [3C, C] / ``in_proj_bias`` [3C] per block, which
+    splits into the q/k/v projections transformers (and this framework)
+    keep separate. ``text_projection`` is a raw [C, proj] matrix applied as
+    ``pooled @ proj`` — transposed relative to a Linear weight.
+    (The reference delegates this translation to diffusers' from_single_file,
+    cuda_worker.py:380.)
+    """
+    out: Dict[str, np.ndarray] = {}
+    for key, t in tensors.items():
+        if not key.startswith(prefix):
+            continue
+        k = key[len(prefix):]
+        if k == "token_embedding.weight":
+            out["text_model.embeddings.token_embedding.weight"] = t
+        elif k == "positional_embedding":
+            out["text_model.embeddings.position_embedding.weight"] = t
+        elif k in ("ln_final.weight", "ln_final.bias"):
+            out["text_model.final_layer_norm." + k.split(".")[1]] = t
+        elif k == "text_projection":
+            out["text_projection.weight"] = np.ascontiguousarray(t.T)
+        elif k == "text_projection.weight":  # some exports keep Linear form
+            out["text_projection.weight"] = t
+        elif k == "logit_scale":
+            continue
+        else:
+            m = re.match(r"transformer\.resblocks\.(\d+)\.(.+)", k)
+            if not m:
+                continue
+            i, rest = m.group(1), m.group(2)
+            base = f"text_model.encoder.layers.{i}."
+            if rest in ("attn.in_proj_weight", "attn.in_proj_bias"):
+                q, kk, v = np.split(t, 3, axis=0)
+                leaf = "weight" if rest.endswith("weight") else "bias"
+                out[base + f"self_attn.q_proj.{leaf}"] = q
+                out[base + f"self_attn.k_proj.{leaf}"] = kk
+                out[base + f"self_attn.v_proj.{leaf}"] = v
+            else:
+                ren = {
+                    "ln_1": "layer_norm1",
+                    "ln_2": "layer_norm2",
+                    "attn.out_proj": "self_attn.out_proj",
+                    "mlp.c_fc": "mlp.fc1",
+                    "mlp.c_proj": "mlp.fc2",
+                }
+                stem, _, leaf = rest.rpartition(".")
+                if stem in ren:
+                    out[base + ren[stem] + "." + leaf] = t
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SDXL config derivation (shape-driven, like diffusers' config inference)
+# ---------------------------------------------------------------------------
+
+
+def _derive_unet_cfg_sdxl(
+    t: Dict[str, np.ndarray], cad: int, text2_hidden: Optional[int]
+) -> UNetConfig:
+    """Infer the UNet topology from the LDM tensors themselves (block
+    widths, resnet/transformer counts, micro-conditioning dims), mirroring
+    diffusers from_single_file's config inference. Head counts are not
+    stored in checkpoints; SDXL's 64-dim-head rule applies."""
+    pre = "model.diffusion_model."
+    chan0 = t[pre + "input_blocks.0.0.weight"].shape[0]
+    temb = t[pre + "time_embed.0.weight"].shape[0]
+
+    block_out, tls = [], []
+    layers_per_block = 1
+    stage_channels, stage_layers, stage_tl = chan0, 0, 0
+    idx = 1
+    while True:
+        res_key = f"{pre}input_blocks.{idx}.0.in_layers.2.weight"
+        down_key = f"{pre}input_blocks.{idx}.0.op.weight"
+        if res_key in t:
+            stage_channels = t[res_key].shape[0]
+            stage_layers += 1
+            n_tf = 0
+            while (
+                f"{pre}input_blocks.{idx}.1.transformer_blocks.{n_tf}"
+                ".attn1.to_q.weight" in t
+            ):
+                n_tf += 1
+            stage_tl = max(stage_tl, n_tf)
+            idx += 1
+        elif down_key in t:
+            block_out.append(stage_channels)
+            tls.append(stage_tl)
+            layers_per_block = stage_layers
+            stage_layers, stage_tl = 0, 0
+            idx += 1
+        else:
+            break
+    if stage_layers:
+        block_out.append(stage_channels)
+        tls.append(stage_tl)
+        layers_per_block = stage_layers
+
+    mid_tf = 0
+    while f"{pre}middle_block.1.transformer_blocks.{mid_tf}.attn1.to_q.weight" in t:
+        mid_tf += 1
+
+    cond_key = pre + "time_embed.0.cond_proj.weight"
+    time_cond = t[cond_key].shape[1] if cond_key in t else None
+
+    label_key = pre + "label_emb.0.0.weight"
+    pcei = add_dim = None
+    addition = None
+    if label_key in t:
+        addition = "text_time"
+        pcei = t[label_key].shape[1]
+        if text2_hidden:
+            add_dim = (pcei - text2_hidden) // 6
+
+    return UNetConfig(
+        in_channels=t[pre + "input_blocks.0.0.weight"].shape[1],
+        out_channels=t[pre + "out.2.weight"].shape[0],
+        block_out_channels=tuple(block_out),
+        layers_per_block=layers_per_block,
+        transformer_layers_per_block=tuple(tls),
+        num_attention_heads=tuple(max(1, c // 64) for c in block_out),
+        cross_attention_dim=cad,
+        norm_groups=32,
+        time_embed_dim_mult=temb // chan0,
+        time_cond_proj_dim=time_cond,
+        addition_embed_type=addition,
+        addition_time_embed_dim=add_dim,
+        projection_class_embeddings_input_dim=pcei,
+        mid_block_transformer_layers=mid_tf,
+    )
+
+
+def _derive_text_cfg(
+    text_t: Dict[str, np.ndarray], *, act: str, penultimate: bool,
+    head_dim: int = 64,
+) -> CLIPTextConfig:
+    hidden = text_t["text_model.embeddings.token_embedding.weight"].shape[1]
+    layers = 1 + max(
+        int(m.group(1))
+        for k in text_t
+        if (m := re.match(r"text_model\.encoder\.layers\.(\d+)\.", k))
+    )
+    proj = (
+        text_t["text_projection.weight"].shape[0]
+        if "text_projection.weight" in text_t
+        else None
+    )
+    return CLIPTextConfig(
+        vocab_size=text_t["text_model.embeddings.token_embedding.weight"].shape[0],
+        hidden_size=hidden,
+        num_layers=layers,
+        num_heads=max(1, hidden // head_dim),
+        intermediate_size=text_t["text_model.encoder.layers.0.mlp.fc1.weight"].shape[0],
+        hidden_act=act,
+        penultimate=penultimate,
+        projection_dim=proj,
+    )
+
+
+def _load_single_file_sdxl(path: str, tensors, cad: int) -> PipelineBundle:
+    """SDXL single file: dual text towers (ViT-L + OpenCLIP bigG with packed
+    q/k/v), micro-conditioning UNet, 0.13025-scaled VAE.
+
+    The reference delegates this to diffusers StableDiffusionXLPipeline
+    .from_single_file (cuda_worker.py:332-459)."""
+    text1_t = _translate_text(tensors)
+    if not text1_t:
+        raise ValueError(
+            f"{path}: no first text tower (conditioner.embedders.0) — "
+            "SDXL-refiner single files are not servable here yet"
+        )
+    text2_t = _translate_text_openclip(tensors)
+    if not text2_t:
+        raise ValueError(
+            f"{path}: no second text tower (conditioner.embedders.1.model)"
+        )
+    text_cfg = _derive_text_cfg(text1_t, act="quick_gelu", penultimate=True)
+    text_cfg_2 = _derive_text_cfg(text2_t, act="gelu", penultimate=True)
+    text2_hidden = text_cfg_2.hidden_size
+
+    unet_cfg = _derive_unet_cfg_sdxl(tensors, cad, text2_hidden)
+    unet_params = convert_unet(_translate_unet(tensors, unet_cfg), unet_cfg)
+
+    # VAE topology from tensor names; SDXL scaling factor
+    n_up = 1 + max(
+        int(m.group(1))
+        for k in tensors
+        if (m := re.match(r"first_stage_model\.decoder\.up\.(\d+)\.", k))
+    )
+    n_res = 1 + max(
+        int(m.group(1))
+        for k in tensors
+        if (m := re.match(r"first_stage_model\.decoder\.up\.0\.block\.(\d+)\.", k))
+    )
+    widths = tuple(
+        tensors[f"first_stage_model.decoder.up.{n_up - 1 - i}.block.0.conv2.weight"].shape[0]
+        for i in range(n_up)
+    )
+    from .models.configs import VAEConfig
+
+    vae_cfg = VAEConfig(
+        latent_channels=tensors["first_stage_model.decoder.conv_in.weight"].shape[1],
+        block_out_channels=widths,
+        layers_per_block=n_res - 1,
+        norm_groups=32,
+        scaling_factor=SDXL_VAE.scaling_factor,
+    )
+    vae_t = _translate_vae(tensors, n_up)
+    vae_params = convert_vae_decoder(vae_t, vae_cfg)
+    vae_encoder_params = (
+        convert_vae_encoder(vae_t, vae_cfg)
+        if any(k.startswith("encoder.") for k in vae_t)
+        else None
+    )
+
+    tokenizer = CLIPTokenizer.from_pretrained(_find_tokenizer_dir(path))
+    tok2_dir = _find_tokenizer_dir(path, "tokenizer_2")
+    if tok2_dir is not None:
+        tokenizer_2 = CLIPTokenizer.from_pretrained(tok2_dir)
+    else:
+        # same BPE vocab; OpenCLIP pads with "!" (id 0), not EOS
+        tokenizer_2 = CLIPTokenizer.from_pretrained(
+            _find_tokenizer_dir(path), pad_token="!"
+        )
+
+    return PipelineBundle(
+        arch="sdxl",
+        model_dir=path,
+        tokenizer=tokenizer,
+        text_cfg=text_cfg,
+        text_params=convert_clip_text(text1_t, text_cfg),
+        unet_cfg=unet_cfg,
+        unet_params=unet_params,
+        vae_cfg=vae_cfg,
+        vae_params=vae_params,
+        scheduler_cfg=LCMConfig(),
+        vae_encoder_params=vae_encoder_params,
+        tokenizer_2=tokenizer_2,
+        text_cfg_2=text_cfg_2,
+        text_params_2=convert_clip_text(text2_t, text_cfg_2),
+    )
+
+
 # ---------------------------------------------------------------------------
 # entry
 # ---------------------------------------------------------------------------
 
 
-def _find_tokenizer_dir(ckpt_path: str) -> str:
+def _find_tokenizer_dir(ckpt_path: str, which: str = "tokenizer") -> Optional[str]:
     base = os.path.splitext(ckpt_path)[0]
     for cand in (
-        base + ".tokenizer",
-        os.path.join(os.path.dirname(ckpt_path), "tokenizer"),
+        f"{base}.{which}",
+        os.path.join(os.path.dirname(ckpt_path), which),
     ):
         if os.path.isdir(cand):
             return cand
-    raise FileNotFoundError(
-        f"single-file checkpoints carry no tokenizer; place vocab.json/"
-        f"merges.txt in {base}.tokenizer/ or a sibling tokenizer/ directory"
-    )
+    if which == "tokenizer":
+        raise FileNotFoundError(
+            f"single-file checkpoints carry no tokenizer; place vocab.json/"
+            f"merges.txt in {base}.tokenizer/ or a sibling tokenizer/ directory"
+        )
+    return None
 
 
 def load_single_file(path: str) -> PipelineBundle:
@@ -261,10 +512,7 @@ def load_single_file(path: str) -> PipelineBundle:
         raise ValueError(f"not a diffusion checkpoint (no attn2.to_k): {path}")
     arch = classify_arch(cad)
     if arch == "sdxl":
-        raise ValueError(
-            "SDXL single-file checkpoints are not supported offline yet; "
-            "convert to a diffusers directory"
-        )
+        return _load_single_file_sdxl(path, tensors, cad)
 
     has_cond_proj = any("time_embed.0.cond_proj" in k for k in tensors) or any(
         "time_embedding.cond_proj" in k for k in tensors
