@@ -155,3 +155,147 @@ def test_comfy_routes_end_to_end(fake_comfy_url, tmp_path, monkeypatch):
     finally:
         loop.run_until_complete(cl.close())
         loop.close()
+
+
+# ---------------------------------------------------------------------------
+# WS node-progress tier (round-1 VERDICT #9): fake ComfyUI emits 'executing'
+# events; assert per-node progress, the 0.95 cap, heartbeat refreshes, and
+# the reaper's stale/hard transitions.
+# ---------------------------------------------------------------------------
+
+
+class FakeComfyWS(FakeComfy):
+    """FakeComfy + a /ws endpoint that streams node events for the last
+    submitted prompt: noise events first (wrong type / wrong prompt), then
+    one 'executing' per node, then the terminal node=None."""
+
+    def __init__(self):
+        super().__init__()
+        self.app.router.add_get("/ws", self.ws)
+
+    async def ws(self, request):
+        ws = web.WebSocketResponse()
+        await ws.prepare(request)
+        for _ in range(50):  # wait for the prompt submission
+            if self.prompts:
+                break
+            await asyncio.sleep(0.05)
+        pid = sorted(self.prompts)[-1]
+        graph = self.prompts[pid]
+        await ws.send_str(json.dumps({"type": "status", "data": {}}))
+        await ws.send_str(json.dumps({
+            "type": "executing", "data": {"prompt_id": "other", "node": "99"},
+        }))
+        for node in graph:
+            await ws.send_str(json.dumps({
+                "type": "executing", "data": {"prompt_id": pid, "node": node},
+            }))
+        await ws.send_str(json.dumps({
+            "type": "executing", "data": {"prompt_id": pid, "node": None},
+        }))
+        await ws.close()
+        return ws
+
+
+@pytest.fixture()
+def fake_comfy_ws_url():
+    srv = FakeComfyWS()
+    loop = asyncio.new_event_loop()
+    runner = web.AppRunner(srv.app)
+    loop.run_until_complete(runner.setup())
+    site = web.TCPSite(runner, "127.0.0.1", 0)
+    loop.run_until_complete(site.start())
+    port = site._server.sockets[0].getsockname()[1]
+    t = threading.Thread(target=loop.run_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}", srv
+    loop.call_soon_threadsafe(loop.stop)
+    t.join(timeout=2)
+
+
+def test_invoker_ws_node_progress(fake_comfy_ws_url):
+    url, srv = fake_comfy_ws_url
+    inv = ComfyUIInvoker(url, timeout=5)
+    graph = {
+        "1": {"class_type": "LoadImage", "inputs": {}},
+        "2": {"class_type": "KSampler", "inputs": {}},
+        "3": {"class_type": "SaveImage", "inputs": {}},
+    }
+    events = []
+    result = inv.run(graph, on_node=events.append, timeout=10)
+    # wrong-prompt and non-executing events filtered; ours in order + terminal
+    assert events == ["1", "2", "3", None]
+    assert result.outputs[0].filename == "out.png"
+
+
+def test_route_progress_cap_and_heartbeat(monkeypatch, tmp_path):
+    """Drive comfy_routes._run_job with a scripted invoker: fractions climb
+    per node, cap at 0.95 on the terminal event, reach 1.0 only at done;
+    every node event refreshes the heartbeat (reaper contract)."""
+    import dreamlab_tpu.serving.comfy_routes as cr
+    from dreamlab_tpu.invokers.comfy_client import ComfyFileRef, ComfyInvokeResult
+    from dreamlab_tpu.invokers.jobs import jobs_clear, jobs_get, jobs_put, _JOBS
+
+    monkeypatch.setenv("COMFY_WORKFLOWS_DIR", str(tmp_path))
+    (tmp_path / "one.json").write_text(json.dumps({
+        "1": {"class_type": "KSampler", "inputs": {"steps": 4}},
+    }))
+    jobs_clear()
+    job_id = "jid1"
+    jobs_put(job_id, {"status": "pending", "progress": {"fraction": 0.0}})
+
+    observed = {"fractions": [], "heartbeats": []}
+
+    class ScriptedInvoker:
+        def run(self, graph, on_node=None, timeout=900.0):
+            # age the heartbeat, then prove each node event refreshes it
+            _JOBS[job_id]["heartbeat_at"] = 0.0
+            on_node("1")  # 1/1 nodes → capped to 0.95
+            observed["fractions"].append(jobs_get(job_id)["progress"]["fraction"])
+            observed["heartbeats"].append(jobs_get(job_id)["heartbeat_at"])
+            on_node(None)  # terminal event: still capped until done
+            observed["fractions"].append(jobs_get(job_id)["progress"]["fraction"])
+            return ComfyInvokeResult("pid-x", [ComfyFileRef("out.png")])
+
+    monkeypatch.setattr(cr, "_invoker", lambda: ScriptedInvoker())
+    cr._run_job(job_id, "one", {}, None)
+
+    assert observed["fractions"] == [0.95, 0.95]
+    assert observed["heartbeats"][0] > 0.0, "node event must refresh heartbeat"
+    final = jobs_get(job_id)
+    assert final["status"] == "done"
+    assert final["progress"]["fraction"] == 1.0
+
+
+def test_reaper_stale_and_hard_transitions():
+    """Running job with a stalled heartbeat → stale error at 60 s; ancient
+    created_at → hard timeout at 15 min; fresh jobs untouched
+    (reference startup_hooks.py:9-25 + comfy_routes.py:212-214)."""
+    import time as _time
+
+    from dreamlab_tpu.invokers import jobs as J
+
+    J.jobs_clear()
+    now = _time.time()
+    J.jobs_put("fresh", {"status": "running"})
+    J.jobs_put("stalled", {"status": "running"})
+    J._JOBS["stalled"]["heartbeat_at"] = now - J.STALE_AFTER_S - 1
+    J.jobs_put("ancient", {"status": "pending"})
+    J._JOBS["ancient"]["created_at"] = now - J.HARD_TIMEOUT_S - 1
+    J.jobs_put("finished", {"status": "done"})
+    J._JOBS["finished"]["heartbeat_at"] = 0.0
+
+    assert J.reap_stale_jobs() == 2
+    assert J.jobs_get("fresh")["status"] == "running"
+    assert J.jobs_get("stalled")["status"] == "error"
+    assert "stale" in J.jobs_get("stalled")["error"]
+    assert J.jobs_get("ancient")["status"] == "error"
+    assert "hard timeout" in J.jobs_get("ancient")["error"]
+    assert J.jobs_get("finished")["status"] == "done"
+
+    # heartbeat refresh rescues a previously-stalled job
+    J.jobs_put("rescued", {"status": "running"})
+    J._JOBS["rescued"]["heartbeat_at"] = now - J.STALE_AFTER_S - 1
+    J.jobs_update_path("rescued", "progress.node", "5")  # WS event analogue
+    assert J.reap_stale_jobs() == 0
+    assert J.jobs_get("rescued")["status"] == "running"
