@@ -82,6 +82,172 @@ function applyA1111Params(text) {
 }
 
 // ---------------------------------------------------------------------------
+// IndexedDB blob cache (reference cache.js:19-110): djb2 key over normalized
+// params; seeded, deterministic requests short-circuit the server entirely.
+// ---------------------------------------------------------------------------
+
+const CACHE_DB = "dreamlab-image-cache";
+const CACHE_STORE = "images";
+const CACHE_MAX = 50;
+let cacheDb = null;
+
+function openCache() {
+  return new Promise((resolve) => {
+    if (cacheDb) return resolve(cacheDb);
+    if (!window.indexedDB) return resolve(null);
+    const req = indexedDB.open(CACHE_DB, 1);
+    req.onupgradeneeded = () => {
+      const store = req.result.createObjectStore(CACHE_STORE, { keyPath: "key" });
+      store.createIndex("at", "at");
+    };
+    req.onsuccess = () => { cacheDb = req.result; resolve(cacheDb); };
+    req.onerror = () => resolve(null);
+  });
+}
+
+function cacheKey(params) {
+  const normalized = {
+    p: String(params.prompt || "").trim().toLowerCase(),
+    sz: String(params.size || "512x512"),
+    st: Number(params.num_inference_steps) || 0,
+    cfg: Number(params.guidance_scale) || 0,
+    sd: Number(params.seed) || 0,
+    sr: params.superres ? Number(params.superres_magnitude) || 1 : 0,
+    neg: String(params.negative_prompt || ""),
+    sty: params.style_lora ? `${params.style_lora.style}:${params.style_lora.level}` : "",
+  };
+  const str = JSON.stringify(normalized);
+  let hash = 5381; // djb2 (reference cache.js:46-56)
+  for (let i = 0; i < str.length; i++) {
+    hash = ((hash << 5) + hash) ^ str.charCodeAt(i);
+  }
+  return (hash >>> 0).toString(16).padStart(8, "0");
+}
+
+async function cacheGet(key) {
+  const db = await openCache();
+  if (!db) return null;
+  return new Promise((resolve) => {
+    const tx = db.transaction(CACHE_STORE, "readonly");
+    const req = tx.objectStore(CACHE_STORE).get(key);
+    req.onsuccess = () => resolve(req.result || null);
+    req.onerror = () => resolve(null);
+  });
+}
+
+async function cachePut(key, blob, meta) {
+  const db = await openCache();
+  if (!db) return;
+  const tx = db.transaction(CACHE_STORE, "readwrite");
+  const store = tx.objectStore(CACHE_STORE);
+  store.put({ key, blob, meta, at: Date.now() });
+  // evict oldest beyond the cap
+  const count = store.count();
+  count.onsuccess = () => {
+    let extra = count.result - CACHE_MAX;
+    if (extra <= 0) return;
+    store.index("at").openCursor().onsuccess = (e) => {
+      const cur = e.target.result;
+      if (cur && extra-- > 0) { cur.delete(); cur.continue(); }
+    };
+  };
+}
+
+// ---------------------------------------------------------------------------
+// latent exploration presets (reference useLatentExploration.js:27-77):
+// LCM-specific recipes driving /generate; steps 0 ("latent lock") clamps to
+// the server minimum of 1, passCount reruns the recipe with the same seed.
+// ---------------------------------------------------------------------------
+
+const LATENT_PRESETS = {
+  LATENT_LOCK: { name: "Latent Lock", steps: 0, cfg: 8.0, passCount: 1 },
+  COUSINS_DETAILED: { name: "Latent Cousins (Detailed)", steps: 10, cfg: 0.0, passCount: 1 },
+  COUSINS_SUBTLE: { name: "Latent Cousins (Subtle)", steps: 7, cfg: 0.0, passCount: 1 },
+  COUSINS_WILD: { name: "Latent Cousins (Wild)", steps: 15, cfg: 0.0, passCount: 2 },
+  PROGRESSIVE: { name: "Progressive Refinement", steps: 8, cfg: 0.5, passCount: 3 },
+};
+
+async function runPreset(presetId) {
+  const preset = LATENT_PRESETS[presetId];
+  if (!preset) return;
+  const seed = $("p-seed").value !== ""
+    ? +$("p-seed").value
+    : eightDigitSeed();
+  $("p-seed").value = seed; // lock the seed across passes
+  for (let pass = 0; pass < preset.passCount; pass++) {
+    await generate({
+      num_inference_steps: Math.max(1, preset.steps),
+      guidance_scale: preset.cfg,
+      seed,
+      _label: `${preset.name} ${pass + 1}/${preset.passCount}`,
+    });
+  }
+}
+
+// ---------------------------------------------------------------------------
+// client-side dream mode (reference useImageGeneration.js:22-99): interval
+// loop mutating the prompt with a modifier vocabulary and jittering params.
+// ---------------------------------------------------------------------------
+
+const DREAM_MODIFIERS = [
+  "dramatic lighting", "soft lighting", "golden hour", "rim light",
+  "volumetric light", "backlighting", "studio lighting", "natural light",
+  "misty", "foggy", "hazy", "atmospheric", "ethereal", "moody",
+  "wide angle", "telephoto", "shallow depth of field", "bokeh",
+  "cinematic composition", "rule of thirds", "symmetrical", "dynamic angle",
+  "highly detailed", "painterly", "photorealistic", "stylized",
+  "film grain", "vintage", "modern", "minimalist",
+  "warm tones", "cool tones", "vibrant colors", "muted colors",
+  "monochromatic", "high contrast", "desaturated",
+  "intricate details", "sharp focus", "soft focus", "textured",
+];
+
+function eightDigitSeed() {
+  return 10000000 + Math.floor(Math.random() * 90000000);
+}
+
+function dreamVariation(basePrompt, temperature) {
+  const numMods = Math.floor(Math.random() * (1 + temperature * 3)) + 1;
+  const available = DREAM_MODIFIERS.slice();
+  const mods = [];
+  for (let i = 0; i < numMods && available.length; i++) {
+    mods.push(available.splice(Math.floor(Math.random() * available.length), 1)[0]);
+  }
+  return mods.length ? `${basePrompt.trim()}, ${mods.join(", ")}` : basePrompt.trim();
+}
+
+function mutateParams(temperature) {
+  const out = { seed: eightDigitSeed() };
+  const steps = +$("p-steps").value || 4;
+  const cfg = +$("p-cfg").value || 1;
+  if (Math.random() < temperature) {
+    const delta = Math.floor(steps * 0.2 * (Math.random() - 0.5));
+    out.num_inference_steps = Math.max(1, Math.min(50, steps + delta));
+  }
+  if (Math.random() < temperature) {
+    out.guidance_scale = Math.max(0, Math.min(20, cfg + cfg * 0.3 * (Math.random() - 0.5)));
+  }
+  return out;
+}
+
+let dreamModeTimer = null;
+function setDreamMode(on) {
+  if (dreamModeTimer) { clearInterval(dreamModeTimer); dreamModeTimer = null; }
+  if (!on) return;
+  const basePrompt = $("prompt").value.trim();
+  if (!basePrompt) { $("p-dream").checked = false; return; }
+  dreamModeTimer = setInterval(() => {
+    if (generating) return; // skip a beat rather than queueing up
+    const temp = Math.max(0, Math.min(1, +$("p-dream-temp").value || 0.3));
+    generate({
+      prompt: dreamVariation(basePrompt, temp),
+      ...mutateParams(temp),
+      _label: "dream",
+    });
+  }, 4000);
+}
+
+// ---------------------------------------------------------------------------
 // chat generation
 // ---------------------------------------------------------------------------
 
@@ -119,13 +285,14 @@ function imageCard(blobUrl, meta) {
 }
 
 let generating = false;
-async function generate() {
+async function generate(overrides) {
   if (generating) return;
-  const prompt = $("prompt").value.trim();
+  const prompt = (overrides && overrides.prompt) || $("prompt").value.trim();
   if (!prompt) return;
   generating = true;
   $("send").disabled = true;
-  addMessage("user", prompt);
+  const label = overrides && overrides._label;
+  addMessage("user", label ? `[${label}] ${prompt}` : prompt);
   const pending = addMessage("bot pending", "dreaming…");
   const body = {
     prompt,
@@ -143,8 +310,25 @@ async function generate() {
   if (style) body.style_lora = { style, level: +$("p-style-level").value || 1 };
   const mode = $("mode-select").value;
   if (mode) body.mode = mode;
+  if (overrides) {
+    for (const k of ["num_inference_steps", "guidance_scale", "seed"]) {
+      if (overrides[k] !== undefined) body[k] = overrides[k];
+    }
+  }
   try {
     const t0 = performance.now();
+    // deterministic (seeded) requests hit the IndexedDB cache first
+    const ckey = body.seed !== undefined ? cacheKey(body) : null;
+    if (ckey) {
+      const hit = await cacheGet(ckey);
+      if (hit) {
+        const meta = { ...hit.meta, ms: Math.round(performance.now() - t0) };
+        pending.replaceChildren(imageCard(URL.createObjectURL(hit.blob), meta));
+        pending.className = "msg bot";
+        pending.append(el("div", "timing", `${meta.ms} ms (cached)`));
+        return;
+      }
+    }
     const resp = await api("/generate", {
       method: "POST",
       headers: { "Content-Type": "application/json" },
@@ -166,6 +350,7 @@ async function generate() {
     pending.className = "msg bot";
     pending.append(el("div", "timing", `${meta.ms} ms`));
     if (meta.key) rememberKey(meta);
+    if (ckey) cachePut(ckey, blob, meta);
   } catch (e) {
     pending.replaceChildren(el("div", "text error", "✗ " + e.message));
     pending.className = "msg bot";
@@ -317,7 +502,21 @@ function switchTab(name) {
 }
 
 window.addEventListener("DOMContentLoaded", () => {
-  $("send").onclick = generate;
+  $("send").onclick = () => generate();
+
+  // latent exploration presets
+  const presetSel = $("p-preset");
+  for (const [id, p] of Object.entries(LATENT_PRESETS)) {
+    const o = el("option", "", p.name);
+    o.value = id;
+    presetSel.append(o);
+  }
+  $("explore").onclick = () => {
+    if (presetSel.value) runPreset(presetSel.value);
+  };
+
+  // client-side dream mode
+  $("p-dream").addEventListener("change", (e) => setDreamMode(e.target.checked));
   $("prompt").addEventListener("keydown", (e) => {
     if (e.key === "Enter" && !e.shiftKey) { e.preventDefault(); generate(); }
   });
