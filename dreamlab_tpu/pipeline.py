@@ -53,10 +53,32 @@ _SDXL_DEFAULT_TIME_IDS = (1024, 1024, 0, 0, 1024, 1024)
 
 @dataclasses.dataclass
 class GenerationResult:
-    images: np.ndarray  # [B, H, W, 3] uint8
+    """images materialize on construction (or on .wait() in pipelined mode);
+    latents stay on device until first access — txt2img serving never pays
+    their d2h unless the caller wants the fingerprint."""
+
+    images: np.ndarray  # [B, H, W, 3] uint8 (jax array until wait() when pipelined)
     seed: int
-    latents: np.ndarray  # [B, h, w, 4] fp32 — final denoised latents
     timings: Dict[str, float]
+    latents_device: Any = None  # [B, h, w, 4] fp32 device array
+
+    _latents_np: Optional[np.ndarray] = dataclasses.field(
+        default=None, repr=False
+    )
+
+    @property
+    def latents(self) -> np.ndarray:
+        """Final denoised latents, fetched from device on first access."""
+        if self._latents_np is None:
+            self._latents_np = np.asarray(self.latents_device)
+            self.latents_device = None
+        return self._latents_np
+
+    def wait(self) -> "GenerationResult":
+        """Materialize images to host (no-op unless pipelined=True)."""
+        if not isinstance(self.images, np.ndarray):
+            self.images = np.asarray(jax.block_until_ready(self.images))
+        return self
 
 
 class LCMPipeline:
@@ -395,6 +417,7 @@ class LCMPipeline:
         latents: Optional[np.ndarray] = None,
         step_noises: Optional[np.ndarray] = None,
         rng: Optional[str] = None,
+        pipelined: bool = False,
     ) -> GenerationResult:
         """Generate images. Returns uint8 [B, H, W, 3] + final latents.
 
@@ -510,14 +533,18 @@ class LCMPipeline:
             lat0, noises, schedule, w_emb,
             jnp.float32(guidance_scale), time_ids,
         )
-        images = np.asarray(jax.block_until_ready(img_u8))
-        final_latents = np.asarray(denoised)
+        # pipelined: return the in-flight device arrays — the caller overlaps
+        # the next request's dispatch/compute with this one's d2h (wait())
+        images = (
+            img_u8 if pipelined
+            else np.asarray(jax.block_until_ready(img_u8))
+        )
         t_done = time.time()
 
         return GenerationResult(
             images=images,
             seed=seed,
-            latents=final_latents,
+            latents_device=denoised,
             timings={
                 "prep": t_prep - t_start,
                 "device": t_done - t_prep,
@@ -745,7 +772,7 @@ class LCMPipeline:
         return GenerationResult(
             images=images,
             seed=seed,
-            latents=np.asarray(denoised),
+            latents_device=denoised,
             timings={
                 "prep": t_prep - t_start,
                 "device": t_done - t_prep,

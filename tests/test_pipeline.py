@@ -207,3 +207,21 @@ def test_attention_impl_threads_into_configs():
     # default stays auto
     pipe2 = LCMPipeline(random_bundle("sd15", tiny=True), dtype=jnp.float32)
     assert pipe2.bundle.unet_cfg.attention_impl == "auto"
+
+
+def test_pipelined_mode_matches_blocking():
+    """pipelined=True + wait() is bit-identical to the blocking path, and
+    latents stay on device until first access (lazy d2h)."""
+    import jax.numpy as jnp
+
+    from dreamlab_tpu.pipeline import LCMPipeline
+    from dreamlab_tpu.testing import random_bundle
+
+    pipe = LCMPipeline(random_bundle("sd15", tiny=True), dtype=jnp.float32)
+    kw = dict(height=32, width=32, num_inference_steps=2, seed=11)
+    blocking = pipe.generate("t", **kw)
+    piped = pipe.generate("t", **kw, pipelined=True)
+    assert not isinstance(piped.images, np.ndarray)  # still on device
+    piped.wait()
+    np.testing.assert_array_equal(piped.images, blocking.images)
+    np.testing.assert_array_equal(piped.latents, blocking.latents)
