@@ -484,14 +484,126 @@ async function stopDream() {
 }
 
 // ---------------------------------------------------------------------------
+// Comfy job panel (reference useComfyJob.js:16-18): 750 ms poll with 30 s
+// stale and 6 min hard timeouts, progress bar from progress.fraction.
+// ---------------------------------------------------------------------------
+
+const COMFY_POLL_MS = 750;
+const COMFY_STALE_MS = 30 * 1000;
+const COMFY_HARD_MS = 6 * 60 * 1000;
+let comfyPoll = null;
+let comfyStartedAt = 0;
+let comfyLastChangeAt = 0;
+let comfyLastFingerprint = "";
+
+function comfySetState(text, fraction) {
+  $("comfy-state").textContent = text;
+  if (fraction !== undefined) {
+    $("comfy-bar").style.width = Math.round(fraction * 100) + "%";
+  }
+}
+
+function comfyStopPolling() {
+  if (comfyPoll) { clearInterval(comfyPoll); comfyPoll = null; }
+  $("comfy-cancel").disabled = true;
+}
+
+async function comfyStart() {
+  const workflowId = $("comfy-workflow").value.trim();
+  if (!workflowId) return comfySetState("workflow id required", 0);
+  comfyStopPolling();
+  $("comfy-outputs").replaceChildren();
+  const form = new FormData();
+  form.append("workflowId", workflowId);
+  form.append("params", $("comfy-params").value.trim() || "{}");
+  const profile = $("comfy-profile").value;
+  if (profile) form.append("profile", profile);
+  const file = $("comfy-image").files[0];
+  if (file) form.append("image", file, file.name);
+  comfySetState("starting…", 0);
+  let data;
+  try {
+    const resp = await api("/v1/comfy/jobs", { method: "POST", body: form });
+    data = await resp.json();
+    if (!resp.ok) throw new Error(data.detail || "HTTP " + resp.status);
+  } catch (e) {
+    return comfySetState("✗ " + e.message, 0);
+  }
+  const jobId = data.jobId;
+  comfyStartedAt = comfyLastChangeAt = Date.now();
+  comfyLastFingerprint = "";
+  $("comfy-cancel").disabled = false;
+  comfyPoll = setInterval(() => comfyPollOnce(jobId), COMFY_POLL_MS);
+}
+
+async function comfyPollOnce(jobId) {
+  const now = Date.now();
+  if (now - comfyStartedAt > COMFY_HARD_MS) {
+    comfyStopPolling();
+    return comfySetState("✗ hard timeout (6 min)");
+  }
+  let job;
+  try {
+    job = await (await api("/v1/comfy/jobs/" + jobId)).json();
+  } catch (e) {
+    return; // transient poll failure
+  }
+  const fp = JSON.stringify([job.status, job.progress]);
+  if (fp !== comfyLastFingerprint) {
+    comfyLastFingerprint = fp;
+    comfyLastChangeAt = now;
+  } else if (now - comfyLastChangeAt > COMFY_STALE_MS) {
+    comfyStopPolling();
+    return comfySetState("✗ stale (no progress 30 s)");
+  }
+  const frac = (job.progress && job.progress.fraction) || 0;
+  comfySetState(
+    `${job.status}` +
+    (job.progress && job.progress.node ? ` · node ${job.progress.node}` : ""),
+    frac);
+  if (job.status === "done") {
+    comfyStopPolling();
+    comfySetState("done", 1);
+    const box = $("comfy-outputs");
+    for (const ref of job.outputs || []) {
+      const q = new URLSearchParams(ref).toString();
+      const img = el("img", "comfyout");
+      img.src = (window.COMFYUI_URL || "") + "/view?" + q;
+      img.alt = ref.filename;
+      box.append(img);
+      box.append(el("div", "score", ref.filename));
+    }
+  } else if (job.status === "error") {
+    comfyStopPolling();
+    comfySetState("✗ " + (job.error || "job failed"), frac);
+  }
+}
+
+function comfyCancel() {
+  comfyStopPolling();
+  comfySetState("canceled");
+}
+
+async function loadComfyProfiles() {
+  // profile names are static in the reference; mirror its registry
+  for (const name of ["subtle-refine", "strong-restyle", "upscale-detail"]) {
+    const o = el("option", "", name);
+    o.value = name;
+    $("comfy-profile").append(o);
+  }
+}
+
+// ---------------------------------------------------------------------------
 // wiring
 // ---------------------------------------------------------------------------
 
 function switchTab(name) {
   $("view-chat").hidden = name !== "chat";
   $("view-dreams").hidden = name !== "dreams";
+  $("view-comfy").hidden = name !== "comfy";
   $("tab-chat").classList.toggle("active", name === "chat");
   $("tab-dreams").classList.toggle("active", name === "dreams");
+  $("tab-comfy").classList.toggle("active", name === "comfy");
   if (name === "dreams") {
     refreshDreams();
     if (!dreamTimer) dreamTimer = setInterval(refreshDreams, 3000);
@@ -522,6 +634,10 @@ window.addEventListener("DOMContentLoaded", () => {
   });
   $("tab-chat").onclick = () => switchTab("chat");
   $("tab-dreams").onclick = () => switchTab("dreams");
+  $("tab-comfy").onclick = () => switchTab("comfy");
+  $("comfy-start").onclick = comfyStart;
+  $("comfy-cancel").onclick = comfyCancel;
+  loadComfyProfiles();
   $("dream-start").onclick = startDream;
   $("dream-stop").onclick = stopDream;
   $("sr-file").addEventListener("change", (e) => {
