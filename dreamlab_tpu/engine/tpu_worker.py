@@ -246,14 +246,28 @@ class TPUPipelineWorker:
 
     def run_jobs(self, specs) -> list:
         """Coalesced execution: one batched XLA call for N compatible specs.
+        Returns [(png, seed), ...] in input order."""
+        if len(specs) == 1:
+            return [self.run_job(specs[0])]
+        return self.run_jobs_pipelined(specs)()
+
+    def run_jobs_pipelined(self, specs):
+        """Dispatch a coalesced batch NOW, finalize later.
+
+        Returns a zero-arg callable producing [(png, seed), ...]: the device
+        call is issued immediately (JAX async dispatch), and the image d2h +
+        PNG encode happen inside the returned finalizer — the pool overlaps
+        the next batch's compute with this one's transfer/encode.
 
         Per-request determinism is preserved — each row's initial latents
         and step noises are sampled from that request's own seed, exactly as
-        a solo run would (so batching never changes anyone's image).
-        Returns [(png, seed), ...] in input order.
+        a solo run would (so batching never changes anyone's image). Style
+        swaps between dispatches are safe: the in-flight computation holds
+        the param buffers captured at dispatch.
         """
         if len(specs) == 1:
-            return [self.run_job(specs[0])]
+            spec = specs[0]
+            return lambda: [self.run_job(spec)]
         first = specs[0]
         assert all(self.batchable(first, s) for s in specs[1:])
         width, height = first.dims()
@@ -286,23 +300,29 @@ class TPUPipelineWorker:
                     seed=seeds[0],
                     latents=lat0,
                     step_noises=step_noises,
+                    pipelined=True,
                 )
             finally:
                 self._apply_style(None, 0)
-        out = []
-        for i, (spec, seed) in enumerate(zip(specs, seeds)):
-            png = png_encode(
-                res.images[i],
-                metadata={
-                    "parameters": (
-                        f"{spec.prompt}\nSteps: {steps}, "
-                        f"CFG scale: {spec.guidance_scale}, Seed: {seed}, "
-                        f"Size: {spec.size}"
-                    )
-                },
-            )
-            out.append((png, seed))
-        return out
+
+        def finalize():
+            res.wait()
+            out = []
+            for i, (spec, seed) in enumerate(zip(specs, seeds)):
+                png = png_encode(
+                    res.images[i],
+                    metadata={
+                        "parameters": (
+                            f"{spec.prompt}\nSteps: {steps}, "
+                            f"CFG scale: {spec.guidance_scale}, Seed: {seed}, "
+                            f"Size: {spec.size}"
+                        )
+                    },
+                )
+                out.append((png, seed))
+            return out
+
+        return finalize
 
     # ------------------------------------------------------------------
     def close(self):

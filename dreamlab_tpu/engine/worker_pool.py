@@ -256,6 +256,8 @@ class WorkerPool:
         pending: list = []
         try:
             self._run_jobs(pending)
+        except Exception:
+            logger.exception("worker loop crashed")
         finally:
             # fail anything left behind so no caller blocks forever
             # (the reference fails queued futures explicitly on shutdown,
@@ -272,45 +274,94 @@ class WorkerPool:
                     job.future.set_exception(RuntimeError("pool shut down"))
 
     def _run_jobs(self, pending: list):
-        while not self._shutdown.is_set():
-            if pending:
-                job = pending.pop(0)
-            else:
-                try:
-                    job = self.queue.get(timeout=0.25)
-                except queue.Empty:
-                    continue
-                self.queue.task_done()
-            if job is None:
-                break
+        # One coalesced batch may be "in flight": dispatched to the device
+        # but not yet materialized — its image d2h + PNG encode overlap the
+        # next batch's compute (the worker's run_jobs_pipelined contract).
+        # Futures still complete in strict FIFO order: the previous batch
+        # settles immediately after the next one dispatches, and everything
+        # non-batchable settles it first.
+        inflight = None  # (jobs, finalize)
 
-            if self._can_batch(job):
-                batch = self._collect_batch(job, pending)
-                if len(batch) > 1:
-                    try:
-                        results = self.worker.run_jobs([j.spec for j in batch])
-                        for j, r in zip(batch, results):
-                            j.future.set_result(r)
-                    except Exception as e:
-                        logger.exception("batched jobs failed")
-                        for j in batch:
-                            j.future.set_exception(e)
-                    continue
-
+        def settle_inflight():
+            nonlocal inflight
+            if inflight is None:
+                return
+            jobs, finalize = inflight
+            inflight = None
             try:
-                if job.job_type is JobType.MODE_SWITCH:
-                    if job.target_mode == self.current_mode:
-                        logger.info("already in mode %s", job.target_mode)
-                        result = job.execute(self.worker)
+                results = finalize()
+                for j, r in zip(jobs, results):
+                    j.future.set_result(r)
+            except Exception as e:
+                logger.exception("batched jobs failed")
+                for j in jobs:
+                    j.future.set_exception(e)
+
+        try:
+            while not self._shutdown.is_set():
+                if pending:
+                    job = pending.pop(0)
+                else:
+                    try:
+                        job = self.queue.get(timeout=0.25)
+                    except queue.Empty:
+                        settle_inflight()
+                        continue
+                    self.queue.task_done()
+                if job is None:
+                    break
+
+                if self._can_batch(job):
+                    batch = self._collect_batch(job, pending)
+                    if len(batch) > 1:
+                        runner = getattr(
+                            self.worker, "run_jobs_pipelined", None
+                        )
+                        if runner is not None:
+                            # dispatch the new batch BEFORE settling the
+                            # previous one — that's the overlap
+                            try:
+                                finalize = runner([j.spec for j in batch])
+                            except Exception as e:
+                                logger.exception("batched dispatch failed")
+                                for j in batch:
+                                    j.future.set_exception(e)
+                                settle_inflight()
+                                continue
+                            settle_inflight()
+                            inflight = (batch, finalize)
+                            continue
+                        try:
+                            results = self.worker.run_jobs(
+                                [j.spec for j in batch]
+                            )
+                            for j, r in zip(batch, results):
+                                j.future.set_result(r)
+                        except Exception as e:
+                            logger.exception("batched jobs failed")
+                            for j in batch:
+                                j.future.set_exception(e)
+                        continue
+
+                # anything else (solo generation, mode switch, custom job)
+                # runs strictly after the in-flight batch completes
+                settle_inflight()
+                try:
+                    if job.job_type is JobType.MODE_SWITCH:
+                        if job.target_mode == self.current_mode:
+                            logger.info("already in mode %s", job.target_mode)
+                            result = job.execute(self.worker)
+                        else:
+                            result = job.execute(self.worker)
+                            self._load_mode(job.target_mode)
                     else:
                         result = job.execute(self.worker)
-                        self._load_mode(job.target_mode)
-                else:
-                    result = job.execute(self.worker)
-                job.future.set_result(result)
-            except Exception as e:  # fail only this job
-                logger.exception("job %s failed", job.job_id)
-                job.future.set_exception(e)
+                    job.future.set_result(result)
+                except Exception as e:  # fail only this job
+                    logger.exception("job %s failed", job.job_id)
+                    job.future.set_exception(e)
+        finally:
+            settle_inflight()  # never strand a dispatched batch
 
     # ------------------------------------------------------------------
     def submit_job(self, job: Job) -> Future:

@@ -431,3 +431,104 @@ def test_shutdown_fails_leftover_futures(tmp_path):
         # either completed before shutdown won the race, or failed cleanly
         if f.exception() is not None:
             assert "shut down" in str(f.exception())
+
+
+def test_pool_pipelined_batches_overlap_and_stay_fifo(tmp_path):
+    """A run_jobs_pipelined worker gets dispatch-then-settle treatment: the
+    previous batch's futures resolve right after the next batch dispatches,
+    results stay correct per request, and non-batch jobs (incl. shutdown)
+    settle the in-flight batch first — nothing strands."""
+    cfg = ModeConfigManager(write_modes_yaml(tmp_path / "m.yaml", modes=("a",)))
+    reg = ModelRegistry(total_hbm_bytes=1 << 30)
+    events = []
+
+    class PipelinedFakeWorker:
+        def __init__(self, worker_id, path):
+            self.worker_id = worker_id
+
+        @staticmethod
+        def batchable(a, b):
+            return a.size == b.size
+
+        def run_jobs(self, specs):
+            return self.run_jobs_pipelined(specs)()
+
+        def run_jobs_pipelined(self, specs):
+            events.append(("dispatch", [s.prompt for s in specs]))
+
+            def finalize():
+                events.append(("finalize", [s.prompt for s in specs]))
+                return [(f"png:{s.prompt}".encode(), s.seed) for s in specs]
+
+            return finalize
+
+        def run_job(self, spec):
+            events.append(("solo", spec.prompt))
+            return f"png:{spec.prompt}".encode(), spec.seed
+
+        def close(self):
+            pass
+
+    pool = WorkerPool(queue_max=32, worker_factory=PipelinedFakeWorker,
+                      mode_config=cfg, registry=reg, max_batch=2)
+    try:
+        gate = threading.Event()
+        pool.submit_job(CustomJob(lambda w: gate.wait(5)))
+        time.sleep(0.1)
+        futs = [
+            pool.submit_job(GenerationJob(GenSpec(prompt=f"p{i}", size="32x32",
+                                                  num_inference_steps=2, seed=i)))
+            for i in range(4)  # two batches of 2
+        ]
+        solo = pool.submit_job(GenerationJob(GenSpec(prompt="solo", size="64x64",
+                                                     num_inference_steps=2, seed=9)))
+        gate.set()
+        results = [f.result(timeout=5) for f in futs]
+        solo.result(timeout=5)
+        assert [r[0] for r in results] == [b"png:p0", b"png:p1", b"png:p2", b"png:p3"]
+
+        # overlap shape: batch 2 dispatches BEFORE batch 1 finalizes; the
+        # solo job settles batch 2 before running
+        assert events == [
+            ("dispatch", ["p0", "p1"]),
+            ("dispatch", ["p2", "p3"]),
+            ("finalize", ["p0", "p1"]),
+            ("finalize", ["p2", "p3"]),
+            ("solo", "solo"),
+        ]
+    finally:
+        pool.shutdown(drain=False, timeout=1)
+
+
+def test_pool_inflight_settles_on_shutdown(tmp_path):
+    """An in-flight pipelined batch finalizes (not strands) at shutdown."""
+    cfg = ModeConfigManager(write_modes_yaml(tmp_path / "m.yaml", modes=("a",)))
+    reg = ModelRegistry(total_hbm_bytes=1 << 30)
+
+    class W:
+        def __init__(self, i, p):
+            pass
+
+        @staticmethod
+        def batchable(a, b):
+            return True
+
+        def run_jobs(self, specs):
+            return self.run_jobs_pipelined(specs)()
+
+        def run_jobs_pipelined(self, specs):
+            return lambda: [(b"ok", s.seed) for s in specs]
+
+        def close(self):
+            pass
+
+    pool = WorkerPool(queue_max=8, worker_factory=W, mode_config=cfg,
+                      registry=reg, max_batch=2)
+    futs = [
+        pool.submit_job(GenerationJob(GenSpec(prompt=f"x{i}", size="32x32",
+                                              num_inference_steps=2, seed=i)))
+        for i in range(2)
+    ]
+    pool.shutdown(timeout=5)
+    for f in futs:
+        assert f.result(timeout=1) == (b"ok", f.result(timeout=1)[1])
