@@ -373,6 +373,8 @@ async function restoreImages() {
       const resp = await api("/storage/" + meta.key);
       if (!resp.ok) continue;
       const blob = await resp.blob();
+      // rebuild the conversation shape: prompt bubble, then its image
+      if (meta.prompt) addMessage("user restored", meta.prompt);
       addMessage("bot", imageCard(URL.createObjectURL(blob), meta));
     } catch (e) { /* expired keys are fine */ }
   }
