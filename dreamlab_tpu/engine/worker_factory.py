@@ -50,14 +50,24 @@ def apply_mode_loras(pipeline, loras) -> None:
 
     for entry in loras or []:
         t0 = time.time()
-        tensors = load_lora(entry.file)
-        pipeline.unet_params = merge_lora_into_tree(
-            pipeline.unet_params, tensors.unet, entry.strength
-        )
-        if tensors.text:
-            pipeline.text_params = merge_lora_into_tree(
-                pipeline.text_params, tensors.text, entry.strength
+        try:
+            tensors = load_lora(entry.file)
+            pipeline.unet_params = merge_lora_into_tree(
+                pipeline.unet_params, tensors.unet, entry.strength
             )
+            if tensors.text:
+                pipeline.text_params = merge_lora_into_tree(
+                    pipeline.text_params, tensors.text, entry.strength
+                )
+        except Exception as e:
+            # warn-don't-raise: missing/unreadable mode LoRAs degrade to the
+            # base model, matching mode_config's path validation policy —
+            # never fail pool startup or a mode switch over an adapter
+            logger.warning(
+                "mode lora %s not applied (%s); serving base weights",
+                entry.file, e,
+            )
+            continue
         logger.info(
             "mode lora %s (strength %.2f, %d modules) merged in %.0f ms",
             entry.file, entry.strength, tensors.num_modules,

@@ -420,8 +420,11 @@ def _load_single_file_sdxl(path: str, tensors, cad: int) -> PipelineBundle:
         for k in tensors
         if (m := re.match(r"first_stage_model\.decoder\.up\.0\.block\.(\d+)\.", k))
     )
+    # block_out_channels is ascending (encoder order): LDM decoder.up.{i}
+    # maps to diffusers up_blocks.{n-1-i}, whose width is the reversed list —
+    # so reading up.{i} directly yields the ascending encoder widths
     widths = tuple(
-        tensors[f"first_stage_model.decoder.up.{n_up - 1 - i}.block.0.conv2.weight"].shape[0]
+        tensors[f"first_stage_model.decoder.up.{i}.block.0.conv2.weight"].shape[0]
         for i in range(n_up)
     )
     from .models.configs import VAEConfig

@@ -8,6 +8,7 @@ progress (fraction capped at 0.95 until terminal).
 
 from __future__ import annotations
 
+import asyncio
 import json
 import logging
 import os
@@ -122,6 +123,35 @@ async def get_job(request: web.Request) -> web.Response:
     return web.json_response(job)
 
 
+async def view_output(request: web.Request) -> web.Response:
+    """Proxy a ComfyUI output image so the browser never needs direct
+    network reach to the ComfyUI instance (its URL is server-side config)."""
+    from ..invokers.comfy_client import ComfyFileRef
+
+    q = request.query
+    if not q.get("filename"):
+        raise web.HTTPBadRequest(
+            text=json.dumps({"detail": "filename required"}),
+            content_type="application/json",
+        )
+    ref = ComfyFileRef(
+        filename=q["filename"],
+        subfolder=q.get("subfolder", ""),
+        type=q.get("type", "output"),
+    )
+    try:
+        data = await asyncio.get_event_loop().run_in_executor(
+            None, _invoker().fetch_image, ref
+        )
+    except Exception as e:
+        raise web.HTTPBadGateway(
+            text=json.dumps({"detail": f"comfy fetch failed: {e}"}),
+            content_type="application/json",
+        )
+    return web.Response(body=data, content_type="image/png")
+
+
 def register_comfy_routes(app: web.Application):
     app.router.add_post("/v1/comfy/jobs", start_job)
     app.router.add_get("/v1/comfy/jobs/{job_id}", get_job)
+    app.router.add_get("/v1/comfy/view", view_output)

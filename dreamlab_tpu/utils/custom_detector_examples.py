@@ -73,9 +73,16 @@ def lora_strength_analyzer(info: ModelInfo) -> Optional[ModelInfo]:
 
         magnitudes = []
         with safe_open(info.path, framework="numpy") as f:
-            lora_keys = [k for k in f.keys() if "lora" in k.lower()][:10]
+            # up-projections only: .alpha scalars (values 4-32) would swamp
+            # the weight magnitudes and always pick the gentlest ladder
+            lora_keys = [
+                k for k in f.keys()
+                if ("lora_up" in k or "lora_B" in k) and not k.endswith(".alpha")
+            ][:10]
             for key in lora_keys:
-                magnitudes.append(float(np.abs(f.get_tensor(key)).mean()))
+                t = f.get_tensor(key)
+                if t.ndim >= 2:
+                    magnitudes.append(float(np.abs(t).mean()))
         if magnitudes:
             avg = float(np.mean(magnitudes))
             if avg < 0.01:

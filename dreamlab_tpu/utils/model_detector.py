@@ -105,10 +105,12 @@ def safetensors_detector(info: ModelInfo) -> Optional[ModelInfo]:
     return info
 
 
-def _pickle_strings(data: bytes) -> List[str]:
+def _pickle_strings(data) -> List[str]:
     """Collect string opcode arguments from a pickle stream WITHOUT
     executing it — enough to read a torch state dict's key names (the keys
-    are BINUNICODE ops) with zero deserialization risk."""
+    are BINUNICODE ops) with zero deserialization risk. ``data`` may be
+    bytes or an open binary file (legacy multi-GB .ckpt files stream
+    instead of materializing in RAM)."""
     import pickletools
 
     out: List[str] = []
@@ -142,9 +144,9 @@ def checkpoint_detector(info: ModelInfo) -> Optional[ModelInfo]:
                 pkls = [n for n in zf.namelist() if n.endswith("data.pkl")]
                 if pkls:
                     keys = _pickle_strings(zf.read(pkls[0]))
-        else:  # legacy raw-pickle .ckpt
+        else:  # legacy raw-pickle .ckpt: stream, tensors ride inline (GBs)
             with open(info.path, "rb") as f:
-                keys = _pickle_strings(f.read())
+                keys = _pickle_strings(f)
     except Exception as e:
         info.extra["checkpoint_error"] = str(e)
         return info

@@ -299,3 +299,31 @@ def test_reaper_stale_and_hard_transitions():
     J.jobs_update_path("rescued", "progress.node", "5")  # WS event analogue
     assert J.reap_stale_jobs() == 0
     assert J.jobs_get("rescued")["status"] == "running"
+
+
+def test_comfy_view_proxy(fake_comfy_url, monkeypatch):
+    """/v1/comfy/view proxies output images from ComfyUI (the browser never
+    needs direct reach to the ComfyUI instance)."""
+    url, srv = fake_comfy_url
+    monkeypatch.setenv("COMFYUI_URL", url)
+    from dreamlab_tpu.serving.app import ServerConfig, create_app
+
+    app = create_app(ServerConfig(comfy_enabled=True), skip_startup=True)
+    loop = asyncio.new_event_loop()
+    cl = TestClient(TestServer(app, loop=loop), loop=loop)
+    loop.run_until_complete(cl.start_server())
+    try:
+        async def fetch(path):
+            resp = await cl.get(path)
+            return resp.status, await resp.read()
+
+        status, body = loop.run_until_complete(
+            fetch("/v1/comfy/view?filename=out.png&type=output")
+        )
+        assert status == 200
+        assert body.startswith(b"\x89PNG")
+        status, _ = loop.run_until_complete(fetch("/v1/comfy/view"))
+        assert status == 400
+    finally:
+        loop.run_until_complete(cl.close())
+        loop.close()

@@ -236,6 +236,9 @@ def test_sdxl_single_file_loads_and_generates(tmp_path):
     assert bundle.text_cfg_2.projection_dim == 640
     assert bundle.tokenizer_2.pad_id == bundle.tokenizer_2.encoder["!"]
     assert bundle.vae_cfg.scaling_factor == 0.13025
+    # ascending (encoder-order) widths — LDM up.{i} maps to the reversed
+    # diffusers up_blocks, so reading up.{i} directly is already ascending
+    assert bundle.vae_cfg.block_out_channels == TINY_XL_VAE.block_out_channels
     assert bundle.vae_encoder_params is not None
 
     # UNet params survive the LDM roundtrip bit-for-bit

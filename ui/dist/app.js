@@ -113,8 +113,10 @@ function cacheKey(params) {
     cfg: Number(params.guidance_scale) || 0,
     sd: Number(params.seed) || 0,
     sr: params.superres ? Number(params.superres_magnitude) || 1 : 0,
+    srf: params.superres ? `${params.superres_format || "png"}:${params.superres_quality || 92}` : "",
     neg: String(params.negative_prompt || ""),
     sty: params.style_lora ? `${params.style_lora.style}:${params.style_lora.level}` : "",
+    md: String(params.mode || ""),
   };
   const str = JSON.stringify(normalized);
   let hash = 5381; // djb2 (reference cache.js:46-56)
@@ -160,12 +162,37 @@ async function cachePut(key, blob, meta) {
 // ---------------------------------------------------------------------------
 
 const LATENT_PRESETS = {
-  LATENT_LOCK: { name: "Latent Lock", steps: 0, cfg: 8.0, passCount: 1 },
-  COUSINS_DETAILED: { name: "Latent Cousins (Detailed)", steps: 10, cfg: 0.0, passCount: 1 },
-  COUSINS_SUBTLE: { name: "Latent Cousins (Subtle)", steps: 7, cfg: 0.0, passCount: 1 },
-  COUSINS_WILD: { name: "Latent Cousins (Wild)", steps: 15, cfg: 0.0, passCount: 2 },
-  PROGRESSIVE: { name: "Progressive Refinement", steps: 8, cfg: 0.5, passCount: 3 },
+  LATENT_LOCK: { name: "Latent Lock", steps: 0, cfg: 8.0, denoise: 1.0, passCount: 1 },
+  COUSINS_DETAILED: { name: "Latent Cousins (Detailed)", steps: 10, cfg: 0.0, denoise: 0.7, passCount: 1 },
+  COUSINS_SUBTLE: { name: "Latent Cousins (Subtle)", steps: 7, cfg: 0.0, denoise: 0.5, passCount: 1 },
+  COUSINS_WILD: { name: "Latent Cousins (Wild)", steps: 15, cfg: 0.0, denoise: 0.9, passCount: 2 },
+  PROGRESSIVE: { name: "Progressive Refinement", steps: 8, cfg: 0.5, denoise: 0.8, passCount: 3 },
 };
+
+async function img2imgPass(blob, { prompt, steps, cfg, denoise, seed, label }) {
+  const form = new FormData();
+  form.append("file", blob, "pass.png");
+  form.append("prompt", prompt);
+  form.append("strength", String(denoise));
+  form.append("steps", String(steps));
+  form.append("guidance", String(cfg));
+  form.append("seed", String(seed));
+  addMessage("user", `[${label}] ${prompt}`);
+  const pending = addMessage("bot pending", "refining…");
+  try {
+    const resp = await api("/v1/img2img", { method: "POST", body: form });
+    if (!resp.ok) throw new Error("HTTP " + resp.status);
+    const out = await resp.blob();
+    const meta = { prompt, seed: resp.headers.get("X-Seed"), size: $("p-size").value };
+    pending.replaceChildren(imageCard(URL.createObjectURL(out), meta));
+    pending.className = "msg bot";
+    return out;
+  } catch (e) {
+    pending.replaceChildren(el("div", "text error", "✗ " + e.message));
+    pending.className = "msg bot";
+    return null;
+  }
+}
 
 async function runPreset(presetId) {
   const preset = LATENT_PRESETS[presetId];
@@ -174,12 +201,22 @@ async function runPreset(presetId) {
     ? +$("p-seed").value
     : eightDigitSeed();
   $("p-seed").value = seed; // lock the seed across passes
-  for (let pass = 0; pass < preset.passCount; pass++) {
-    await generate({
-      num_inference_steps: Math.max(1, preset.steps),
-      guidance_scale: preset.cfg,
-      seed,
-      _label: `${preset.name} ${pass + 1}/${preset.passCount}`,
+  const steps = Math.max(1, preset.steps);
+  // pass 1 establishes the latent; passes 2..N re-enter the ladder via
+  // img2img at the preset's denoise strength (the reference's multi-pass
+  // recipes chain the previous output, useLatentExploration.js:27-77)
+  let blob = await generate({
+    num_inference_steps: steps,
+    guidance_scale: preset.cfg,
+    seed,
+    _label: `${preset.name} 1/${preset.passCount}`,
+  });
+  const prompt = $("prompt").value.trim();
+  for (let pass = 1; pass < preset.passCount && blob; pass++) {
+    blob = await img2imgPass(blob, {
+      prompt, steps, cfg: preset.cfg, denoise: preset.denoise,
+      seed: seed + pass,
+      label: `${preset.name} ${pass + 1}/${preset.passCount}`,
     });
   }
 }
@@ -326,7 +363,7 @@ async function generate(overrides) {
         pending.replaceChildren(imageCard(URL.createObjectURL(hit.blob), meta));
         pending.className = "msg bot";
         pending.append(el("div", "timing", `${meta.ms} ms (cached)`));
-        return;
+        return hit.blob;
       }
     }
     const resp = await api("/generate", {
@@ -351,9 +388,11 @@ async function generate(overrides) {
     pending.append(el("div", "timing", `${meta.ms} ms`));
     if (meta.key) rememberKey(meta);
     if (ckey) cachePut(ckey, blob, meta);
+    return blob;
   } catch (e) {
     pending.replaceChildren(el("div", "text error", "✗ " + e.message));
     pending.className = "msg bot";
+    return null;
   } finally {
     generating = false;
     $("send").disabled = false;
@@ -491,6 +530,8 @@ async function stopDream() {
 // ---------------------------------------------------------------------------
 
 const COMFY_POLL_MS = 750;
+let comfyBase = "";  // pinned to the backend that accepted the job — the
+                     // job store is per-process, round-robin would 404
 const COMFY_STALE_MS = 30 * 1000;
 const COMFY_HARD_MS = 6 * 60 * 1000;
 let comfyPoll = null;
@@ -525,7 +566,8 @@ async function comfyStart() {
   comfySetState("starting…", 0);
   let data;
   try {
-    const resp = await api("/v1/comfy/jobs", { method: "POST", body: form });
+    comfyBase = apiBase();
+    const resp = await fetch(comfyBase + "/v1/comfy/jobs", { method: "POST", body: form });
     data = await resp.json();
     if (!resp.ok) throw new Error(data.detail || "HTTP " + resp.status);
   } catch (e) {
@@ -546,7 +588,9 @@ async function comfyPollOnce(jobId) {
   }
   let job;
   try {
-    job = await (await api("/v1/comfy/jobs/" + jobId)).json();
+    const resp = await fetch(comfyBase + "/v1/comfy/jobs/" + jobId);
+    if (!resp.ok) return; // transient (restart / proxy hiccup): stale timer decides
+    job = await resp.json();
   } catch (e) {
     return; // transient poll failure
   }
@@ -570,7 +614,7 @@ async function comfyPollOnce(jobId) {
     for (const ref of job.outputs || []) {
       const q = new URLSearchParams(ref).toString();
       const img = el("img", "comfyout");
-      img.src = (window.COMFYUI_URL || "") + "/view?" + q;
+      img.src = comfyBase + "/v1/comfy/view?" + q;
       img.alt = ref.filename;
       box.append(img);
       box.append(el("div", "score", ref.filename));
