@@ -45,6 +45,27 @@ def make_mesh(
     return Mesh(arr, ("data", "model"))
 
 
+def parse_mesh_spec(spec: str) -> dict:
+    """'data=8' or 'data=4,model=2' → {'data': 4, 'model': 2}.
+
+    The serving config exposes this as ``DREAMLAB_MESH`` so a deployment
+    declares its chip layout; the worker factory builds the mesh once and
+    every loaded pipeline shards over it."""
+    out = {"data": 1, "model": 1}
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        k, _, v = part.partition("=")
+        k = k.strip()
+        if k not in out:
+            raise ValueError(f"unknown mesh axis {k!r} (use data/model)")
+        out[k] = int(v)
+    if out["data"] < 1 or out["model"] < 1:
+        raise ValueError(f"invalid mesh spec {spec!r}")
+    return out
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

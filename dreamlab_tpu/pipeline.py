@@ -515,8 +515,15 @@ class LCMPipeline:
             from .parallel.sharding import data_sharding, replicated
 
             rep = replicated(self.mesh)
+            # batch shards over the data axis only when divisible; otherwise
+            # inputs replicate (correct, no DP speedup) — serving deployments
+            # set DREAMLAB_MAX_BATCH to a mesh multiple for the fast path
+            n_data = self.mesh.shape.get("data", 1)
+            shard_batch = bsz % n_data == 0
             ds = lambda x, axis=0: jax.device_put(
-                x, data_sharding(self.mesh, np.ndim(x), axis) if np.ndim(x) else rep
+                x,
+                data_sharding(self.mesh, np.ndim(x), axis)
+                if (np.ndim(x) and shard_batch) else rep,
             )
             ids, ids_neg, ids_2, ids_2_neg = map(ds, (ids, ids_neg, ids_2, ids_2_neg))
             lat0, w_emb, time_ids = map(ds, (lat0, w_emb, time_ids))

@@ -63,6 +63,9 @@ class ServerConfig:
     yume_enabled: bool = False
     comfy_enabled: bool = False
     warmup: bool = True
+    # multi-chip layout, e.g. "data=8" or "data=4,model=2" (DREAMLAB_MESH):
+    # batch DP over the data axis, Megatron-style TP over the model axis
+    mesh_spec: Optional[str] = None
 
     @classmethod
     def from_env(cls) -> "ServerConfig":
@@ -104,6 +107,7 @@ class ServerConfig:
             yume_enabled=env.get("YUME_ENABLED", "0") in ("1", "true", "True"),
             comfy_enabled=env.get("COMFYUI_ENABLED", "0") in ("1", "true", "True"),
             warmup=env.get("WARMUP", "1") not in ("0", "false", "False"),
+            mesh_spec=env.get("DREAMLAB_MESH") or None,
         )
 
 
@@ -469,8 +473,29 @@ async def _startup(app: web.Application):
                 from ..engine.worker_pool import WorkerPool
 
                 state.mode_config = ModeConfigManager(cfg.modes_config)
+                factory = None
+                if cfg.mesh_spec:
+                    from ..engine.worker_factory import create_tpu_worker
+                    from ..parallel.sharding import make_mesh, parse_mesh_spec
+
+                    axes = parse_mesh_spec(cfg.mesh_spec)
+                    mesh = make_mesh(
+                        axes["data"] * axes["model"], model=axes["model"]
+                    )
+                    logger.info(
+                        "serving over a %dx%d (data, model) mesh",
+                        axes["data"], axes["model"],
+                    )
+
+                    def factory(worker_id, model_path, *, loras=None):
+                        return create_tpu_worker(
+                            worker_id, model_path, loras=loras, mesh=mesh,
+                            tensor_parallel=axes["model"] > 1,
+                        )
+
                 state.pool = WorkerPool(
-                    queue_max=cfg.queue_max, mode_config=state.mode_config
+                    queue_max=cfg.queue_max, mode_config=state.mode_config,
+                    worker_factory=factory,
                 )
             elif cfg.model_path:
                 from .legacy_service import PipelineService
