@@ -537,6 +537,20 @@ def load_single_file(path: str) -> PipelineBundle:
     )
 
     text_t = _translate_text(tensors)
+    penultimate, act = False, "quick_gelu"
+    if not text_t and any(
+        k.startswith("cond_stage_model.model.") for k in tensors
+    ):
+        # SD2.x: OpenCLIP ViT-H text tower (fused in_proj, gelu), conditioned
+        # on the penultimate hidden state. prediction_type stays epsilon —
+        # v-prediction checkpoints (768-v) need a scheduler config override,
+        # which single files do not carry.
+        text_t = _translate_text_openclip(
+            tensors, prefix="cond_stage_model.model."
+        )
+        penultimate, act = True, "gelu"
+    if not text_t:
+        raise ValueError(f"{path}: no text tower (cond_stage_model) found")
     hidden = text_t["text_model.embeddings.token_embedding.weight"].shape[1]
     layers = 1 + max(
         int(m.group(1))
@@ -548,7 +562,8 @@ def load_single_file(path: str) -> PipelineBundle:
            "num_heads": hidden // 64,
            "intermediate_size": text_t[
                "text_model.encoder.layers.0.mlp.fc1.weight"
-           ].shape[0]}
+           ].shape[0],
+           "hidden_act": act, "penultimate": penultimate}
     )
     text_params = convert_clip_text(text_t, text_cfg)
 

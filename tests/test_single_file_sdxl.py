@@ -280,3 +280,72 @@ def test_derive_unet_cfg_requires_towers(tmp_path):
     save_file({k: np.ascontiguousarray(v) for k, v in tensors.items()}, path)
     with pytest.raises(ValueError, match="embedders.0"):
         load_single_file(path)
+
+
+def test_sd21_single_file_openclip_tower(tmp_path):
+    """SD2.1-class single files store the text tower in OpenCLIP naming
+    (cond_stage_model.model.*, fused in_proj) — the loader must translate it
+    and condition on the penultimate hidden state."""
+    from safetensors.numpy import save_file
+
+    from dreamlab_tpu.loader_single_file import _translate_unet
+
+    rs = np.random.RandomState(2)
+    unet_cfg = configs.UNetConfig(
+        **{**configs.TINY_UNET.__dict__,
+           "cross_attention_dim": 1024, "time_cond_proj_dim": None}
+    )
+    uparams = unet.init_params(unet_cfg, rs)
+    tensors = export_unet_ldm(uparams, unet_cfg)
+    # the loader uses the full SD15 preset topology for real SD2.1 files;
+    # for the tiny test we only check the text-tower translation, so give
+    # the UNet a real-shaped attn2.to_k marker via the exported tensors
+
+    tok = make_test_tokenizer(["cat"])
+    tcfg = configs.CLIPTextConfig(
+        vocab_size=len(tok.encoder), hidden_size=1024, num_layers=2,
+        num_heads=16, intermediate_size=64, hidden_act="gelu",
+        penultimate=True, projection_dim=1024,
+    )
+    tparams = clip_text.init_params(tcfg, rs)
+    tensors.update(export_openclip(tparams, prefix="cond_stage_model.model."))
+
+    vdec = vae.init_decoder_params(configs.TINY_VAE, rs)
+    diff_vae = export_vae_decoder(vdec, configs.TINY_VAE)
+    tensors.update(diffusers_vae_to_ldm(
+        diff_vae, len(configs.TINY_VAE.block_out_channels)
+    ))
+
+    path = str(tmp_path / "sd21.safetensors")
+    save_file({k: np.ascontiguousarray(v) for k, v in tensors.items()}, path)
+    tok_dir = tmp_path / "tokenizer"
+    tok_dir.mkdir()
+    (tok_dir / "vocab.json").write_text(json.dumps(tok.encoder))
+    (tok_dir / "merges.txt").write_text("#version: 0.2\n" + "\n".join(
+        " ".join(p) for p in sorted(tok.bpe_ranks, key=tok.bpe_ranks.get)
+    ) + "\n")
+
+    from dreamlab_tpu.loader_single_file import _translate_text_openclip
+
+    text_t = _translate_text_openclip(tensors, prefix="cond_stage_model.model.")
+    assert "text_model.encoder.layers.0.self_attn.q_proj.weight" in text_t
+    assert text_t["text_model.embeddings.token_embedding.weight"].shape[1] == 1024
+
+    # full load only works when the UNet matches the SD15 preset shapes
+    # (real SD2.1 does); here assert the text config derivation directly
+    from dreamlab_tpu.loader import convert_clip_text
+    from dreamlab_tpu.loader_single_file import _derive_text_cfg
+
+    cfg = _derive_text_cfg(text_t, act="gelu", penultimate=True)
+    assert cfg.hidden_size == 1024 and cfg.num_heads == 16
+    assert cfg.penultimate
+    params = convert_clip_text(text_t, cfg)
+    import jax.numpy as jnp
+
+    ids = jnp.asarray(tok("a cat"))
+    seq, pooled = clip_text.encode_text(params, ids, cfg)
+    assert seq.shape == (1, 77, 1024)
+    # penultimate output: differs from the final-layer output
+    cfg_final = configs.CLIPTextConfig(**{**cfg.__dict__, "penultimate": False})
+    seq_final, _ = clip_text.encode_text(params, ids, cfg_final)
+    assert not np.allclose(np.asarray(seq), np.asarray(seq_final))
