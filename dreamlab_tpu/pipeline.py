@@ -103,14 +103,12 @@ class LCMPipeline:
         if attention_impl != "auto":
             # thread the override into the static model configs — they are
             # part of every traced program, so 'flash'/'xla' actually bind
-            import dataclasses as _dc
-
-            bundle = _dc.replace(
+            bundle = dataclasses.replace(
                 bundle,
-                unet_cfg=_dc.replace(
+                unet_cfg=dataclasses.replace(
                     bundle.unet_cfg, attention_impl=attention_impl
                 ),
-                vae_cfg=_dc.replace(
+                vae_cfg=dataclasses.replace(
                     bundle.vae_cfg, attention_impl=attention_impl
                 ),
             )
