@@ -122,8 +122,10 @@ class WorkerPool:
         from .mode_config import get_mode_config
         from .model_registry import get_model_registry
 
+        # B=8 is the measured throughput sweet spot on v5e (B=16 ≈ B=8,
+        # B=24 regresses — docs/PERFORMANCE.md batch-scaling table)
         self.max_batch = max_batch if max_batch is not None else int(
-            os.environ.get("DREAMLAB_MAX_BATCH", "4")
+            os.environ.get("DREAMLAB_MAX_BATCH", "8")
         )
         self.queue: "queue.Queue[Optional[Job]]" = queue.Queue(maxsize=queue_max)
         self.mode_config = mode_config or get_mode_config()
