@@ -105,6 +105,47 @@ async def not_implemented(request: web.Request) -> web.Response:
     )
 
 
+# ---------------------------------------------------------------------------
+# on-device profiling (TPU-native observability — the reference's per-stage
+# wall-clock prints, SURVEY §5.1, plus a real XLA trace for tensorboard)
+# ---------------------------------------------------------------------------
+
+_PROFILE = {"dir": None}
+
+
+async def profiler_start(request: web.Request) -> web.Response:
+    import jax
+
+    if _PROFILE["dir"] is not None:
+        return web.json_response(
+            {"detail": f"trace already running: {_PROFILE['dir']}"}, status=409
+        )
+    import os
+    import tempfile
+    import time as _time
+
+    try:
+        body = await request.json()
+    except Exception:
+        body = {}
+    trace_dir = body.get("dir") or os.path.join(
+        tempfile.gettempdir(), f"dreamlab-trace-{int(_time.time())}"
+    )
+    jax.profiler.start_trace(trace_dir)
+    _PROFILE["dir"] = trace_dir
+    return web.json_response({"status": "tracing", "dir": trace_dir})
+
+
+async def profiler_stop(request: web.Request) -> web.Response:
+    import jax
+
+    if _PROFILE["dir"] is None:
+        return web.json_response({"detail": "no trace running"}, status=409)
+    trace_dir, _PROFILE["dir"] = _PROFILE["dir"], None
+    jax.profiler.stop_trace()
+    return web.json_response({"status": "stopped", "dir": trace_dir})
+
+
 def register_model_routes(app: web.Application):
     app.router.add_get("/api/models/status", models_status)
     app.router.add_get("/api/modes", list_modes)
@@ -114,3 +155,5 @@ def register_model_routes(app: web.Application):
     app.router.add_get("/api/hbm", hbm_stats)
     app.router.add_post("/api/models/load", not_implemented)
     app.router.add_post("/api/models/unload", not_implemented)
+    app.router.add_post("/api/profiler/start", profiler_start)
+    app.router.add_post("/api/profiler/stop", profiler_stop)

@@ -474,3 +474,30 @@ def test_request_logger_config(monkeypatch):
     assert _body_summary(long, "application/json", 20).endswith("…")
     assert "multipart" in _body_summary(b"xx", "multipart/form-data", 100)
     assert _body_summary(b"\x00\x01", "application/octet-stream", 100) == "<2 bytes>"
+
+
+def test_profiler_endpoints(client):
+    """POST /api/profiler/start + /stop capture a real XLA trace."""
+    import json as _json
+    import os
+    import shutil
+
+    resp, body = client("POST", "/api/profiler/start", json={})
+    assert resp.status == 200
+    trace_dir = _json.loads(body)["dir"]
+    # run something on device while tracing
+    resp, _ = client("POST", "/generate", json={
+        "prompt": "trace me", "size": "32x32",
+        "num_inference_steps": 1, "seed": 0,
+    })
+    assert resp.status == 200
+    # double-start refused
+    resp, _ = client("POST", "/api/profiler/start", json={})
+    assert resp.status == 409
+    resp, body = client("POST", "/api/profiler/stop")
+    assert resp.status == 200
+    assert os.path.isdir(trace_dir)
+    assert any(os.scandir(trace_dir)), "trace produced no files"
+    shutil.rmtree(trace_dir, ignore_errors=True)
+    resp, _ = client("POST", "/api/profiler/stop")
+    assert resp.status == 409
