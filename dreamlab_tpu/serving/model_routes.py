@@ -98,6 +98,23 @@ async def hbm_stats(request: web.Request) -> web.Response:
     return web.json_response(registry.get_hbm_stats())
 
 
+async def list_styles(request: web.Request) -> web.Response:
+    """Style LoRA registry for UI population (registry itself is
+    server-side — engine/styles.py over styles.yaml)."""
+    from ..engine.styles import get_style_registry
+
+    return web.json_response({
+        "styles": [
+            {
+                "name": s.name,
+                "levels": len(s.strengths),
+                "required_cross_attention_dim": s.required_cross_attention_dim,
+            }
+            for s in get_style_registry().values()
+        ]
+    })
+
+
 async def not_implemented(request: web.Request) -> web.Response:
     # reserved endpoints (reference model_routes.py:183-228)
     return web.json_response(
@@ -155,5 +172,6 @@ def register_model_routes(app: web.Application):
     app.router.add_get("/api/hbm", hbm_stats)
     app.router.add_post("/api/models/load", not_implemented)
     app.router.add_post("/api/models/unload", not_implemented)
+    app.router.add_get("/api/styles", list_styles)
     app.router.add_post("/api/profiler/start", profiler_start)
     app.router.add_post("/api/profiler/stop", profiler_stop)

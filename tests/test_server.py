@@ -501,3 +501,12 @@ def test_profiler_endpoints(client):
     shutil.rmtree(trace_dir, ignore_errors=True)
     resp, _ = client("POST", "/api/profiler/stop")
     assert resp.status == 409
+
+
+def test_styles_endpoint(client):
+    import json as _json
+
+    resp, body = client("GET", "/api/styles")
+    assert resp.status == 200
+    data = _json.loads(body)
+    assert "styles" in data and isinstance(data["styles"], list)

@@ -447,6 +447,20 @@ async function upscaleFile(file) {
 // modes + styles + health
 // ---------------------------------------------------------------------------
 
+async function loadStyles() {
+  try {
+    const resp = await api("/api/styles");
+    if (!resp.ok) return;
+    const data = await resp.json();
+    const sel = $("p-style");
+    for (const st of data.styles || []) {
+      const o = el("option", "", st.name);
+      o.value = st.name;
+      sel.append(o);
+    }
+  } catch (e) { /* styles are optional */ }
+}
+
 async function loadModes() {
   try {
     const resp = await api("/api/modes");
@@ -718,6 +732,7 @@ window.addEventListener("DOMContentLoaded", () => {
   });
 
   loadModes();
+  loadStyles();
   pollHealth();
   setInterval(pollHealth, 10000);
   restoreImages();
