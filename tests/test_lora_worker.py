@@ -252,3 +252,47 @@ def test_batchable_predicate():
     assert not W.batchable(a, GenSpec(prompt="y", size="32x32",
                                       num_inference_steps=2, style="anime",
                                       style_level=2))
+
+
+def test_style_swap_while_batch_in_flight(tmp_path):
+    """run_jobs_pipelined captures its param buffers at dispatch: resetting
+    or changing the style BEFORE finalize() must not change the in-flight
+    batch's output (the safety claim behind cross-batch pipelining)."""
+    from safetensors.numpy import save_file
+
+    from dreamlab_tpu.engine.base import GenSpec
+    from dreamlab_tpu.engine.tpu_worker import TPUPipelineWorker
+    from dreamlab_tpu.lora import StyleDef
+    from dreamlab_tpu.pipeline import LCMPipeline
+    from dreamlab_tpu.testing import random_bundle
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(0)
+    base = "unet.down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q"
+    lora_path = str(tmp_path / "style.safetensors")
+    save_file({
+        f"{base}.lora_A.weight": rs.randn(2, 32).astype(np.float32),
+        f"{base}.lora_B.weight": rs.randn(32, 2).astype(np.float32),
+    }, lora_path)
+    styles = {"vivid": StyleDef(name="vivid", path=lora_path)}
+
+    pipe = LCMPipeline(random_bundle("sd15", tiny=True), dtype=jnp.float32)
+    worker = TPUPipelineWorker(pipe, 0, styles=styles)
+
+    specs = [
+        GenSpec(prompt=f"p{i}", size="32x32", num_inference_steps=2,
+                seed=i, style="vivid", style_level=3)
+        for i in range(2)
+    ]
+    # reference outputs: fully-settled batched run with the style
+    want = worker.run_jobs(specs)
+
+    # dispatch with the style, then flip the style BEFORE finalizing
+    finalize = worker.run_jobs_pipelined(specs)
+    plain = [GenSpec(prompt="x", size="32x32", num_inference_steps=2, seed=9)]
+    _ = worker.run_jobs(plain)  # swaps weights back to base and runs
+    got = finalize()
+
+    for (png_a, seed_a), (png_b, seed_b) in zip(want, got):
+        assert seed_a == seed_b
+        assert png_a == png_b, "in-flight batch was affected by a style swap"
