@@ -133,6 +133,10 @@ class WorkerPool:
         self._factory = worker_factory or self._default_factory
         self.worker = None
         self.current_mode: Optional[str] = None
+        # multi-tenant mode cache: total resident workers (active + warm).
+        # 1 = the reference's unload-on-every-switch behavior.
+        self.mode_cache_size = int(os.environ.get("DREAMLAB_MODE_CACHE", "1"))
+        self._mode_cache: Dict[str, Any] = {}  # insertion order = LRU order
         self._shutdown = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._state_lock = threading.Lock()
@@ -153,7 +157,23 @@ class WorkerPool:
         import os
 
         mode = self.mode_config.get_mode(mode_name)
-        self._unload_current_worker()
+
+        # multi-tenant cache: with DREAMLAB_MODE_CACHE > 1, up to N modes
+        # stay HBM-resident and a switch back to a warm mode is instant —
+        # the reference pays a full unload+reload every switch
+        # (README.md:394-397, 10-20 s). Cache size 1 reproduces that
+        # unload-on-switch behavior exactly.
+        cached = self._mode_cache.pop(mode_name, None)
+        if cached is not None:
+            self._stash_current_worker()
+            self._evict_over_capacity(exclude=mode_name)
+            with self._state_lock:
+                self.worker = cached
+                self.current_mode = mode_name
+            logger.info("mode %s activated from cache", mode_name)
+            return
+
+        self._stash_current_worker()
         used_before = self.registry.get_used_hbm()
         t0 = time.time()
         # per-mode LoRAs (with strengths) merge at load — injected test
@@ -193,18 +213,52 @@ class WorkerPool:
             hbm_bytes=hbm,
             loras=[l.display_name for l in mode.loras],
         )
+        # make room BEFORE the new mode counts against capacity
+        self._evict_over_capacity(exclude=mode_name)
         with self._state_lock:
             self.worker = worker
             self.current_mode = mode_name
         logger.info("mode %s loaded in %.1fs", mode_name, time.time() - t0)
 
-    def _unload_current_worker(self):
+    # ------------------------------------------------------------------
+    # worker cache management
+    # ------------------------------------------------------------------
+
+    def _stash_current_worker(self):
+        """Move the active worker into the cache (cache size 1 = evict it
+        immediately, reproducing the reference's unload-on-switch)."""
         with self._state_lock:
             worker, mode = self.worker, self.current_mode
             self.worker = None
             self.current_mode = None
         if worker is None:
             return
+        if mode:
+            self._mode_cache[mode] = worker  # most-recently-used at the end
+        if len(self._mode_cache) >= max(self.mode_cache_size, 1):
+            self._evict_lru(keep=max(self.mode_cache_size - 1, 0))
+
+    def _evict_lru(self, keep: int):
+        while len(self._mode_cache) > keep:
+            mode, worker = next(iter(self._mode_cache.items()))
+            del self._mode_cache[mode]
+            self._dispose_worker(mode, worker)
+
+    def _evict_over_capacity(self, exclude: Optional[str] = None):
+        """Drop LRU cached workers while the registry says HBM is tight."""
+        while self._mode_cache:
+            if self.registry.get_hbm_stats().get("available_gb", 1e9) > 0:
+                break
+            for mode in list(self._mode_cache):
+                if mode == exclude:
+                    continue
+                worker = self._mode_cache.pop(mode)
+                self._dispose_worker(mode, worker)
+                break
+            else:
+                break
+
+    def _dispose_worker(self, mode: Optional[str], worker):
         if mode:
             self.registry.unregister_model(mode)
         close = getattr(worker, "close", None)
@@ -214,6 +268,16 @@ class WorkerPool:
 
         gc.collect()
         logger.info("mode %s unloaded", mode)
+
+    def _unload_current_worker(self):
+        """Unload the active worker AND everything cached (shutdown path)."""
+        with self._state_lock:
+            worker, mode = self.worker, self.current_mode
+            self.worker = None
+            self.current_mode = None
+        if worker is not None:
+            self._dispose_worker(mode, worker)
+        self._evict_lru(keep=0)
 
     # ------------------------------------------------------------------
     def _start_worker_thread(self):

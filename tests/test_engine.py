@@ -532,3 +532,96 @@ def test_pool_inflight_settles_on_shutdown(tmp_path):
     pool.shutdown(timeout=5)
     for f in futs:
         assert f.result(timeout=1) == (b"ok", f.result(timeout=1)[1])
+
+
+def test_mode_cache_keeps_warm_workers(tmp_path, monkeypatch):
+    """DREAMLAB_MODE_CACHE=2: switching back to a warm mode reuses the
+    cached worker (no factory call) — the reference reloads every switch."""
+    monkeypatch.setenv("DREAMLAB_MODE_CACHE", "2")
+    cfg = ModeConfigManager(write_modes_yaml(tmp_path / "m.yaml", modes=("a", "b")))
+    reg = ModelRegistry(total_hbm_bytes=1 << 30)
+    created = []
+
+    class W:
+        def __init__(self, mode):
+            self.mode = mode
+
+        def close(self):
+            pass
+
+    def factory(i, path):
+        created.append(path)
+        return W(path)
+
+    pool = WorkerPool(queue_max=8, worker_factory=factory, mode_config=cfg,
+                      registry=reg)
+    try:
+        assert pool.mode_cache_size == 2
+        first_worker = pool.worker
+        pool.switch_mode("b").result(timeout=5)
+        assert pool.worker is not first_worker
+        pool.switch_mode("a").result(timeout=5)
+        # warm reactivation: same object, no new factory call
+        assert pool.worker is first_worker
+        assert len(created) == 2
+        # registry still tracks both resident modes
+        names = {m["name"] for m in reg.get_hbm_stats()["models"]}
+        assert names == {"a", "b"}
+    finally:
+        pool.shutdown(drain=False, timeout=1)
+    # shutdown disposed everything
+    assert reg.get_hbm_stats()["models"] == []
+
+
+def test_mode_cache_size_one_matches_reference_behavior(tmp_path, monkeypatch):
+    monkeypatch.delenv("DREAMLAB_MODE_CACHE", raising=False)
+    cfg = ModeConfigManager(write_modes_yaml(tmp_path / "m.yaml", modes=("a", "b")))
+    reg = ModelRegistry(total_hbm_bytes=1 << 30)
+    created = []
+
+    def factory(i, path):
+        created.append(path)
+
+        class W:
+            def close(self):
+                pass
+
+        return W()
+
+    pool = WorkerPool(queue_max=8, worker_factory=factory, mode_config=cfg,
+                      registry=reg)
+    try:
+        pool.switch_mode("b").result(timeout=5)
+        pool.switch_mode("a").result(timeout=5)
+        assert len(created) == 3  # every switch reloads (reference parity)
+        names = {m["name"] for m in reg.get_hbm_stats()["models"]}
+        assert names == {"a"}
+    finally:
+        pool.shutdown(drain=False, timeout=1)
+
+
+def test_mode_cache_evicts_when_hbm_tight(tmp_path, monkeypatch):
+    """Cached (non-active) workers are evicted LRU-first when the registry
+    reports no available HBM."""
+    monkeypatch.setenv("DREAMLAB_MODE_CACHE", "3")
+    cfg = ModeConfigManager(
+        write_modes_yaml(tmp_path / "m.yaml", modes=("a", "b", "c"))
+    )
+    # capacity fits ~one model estimate: registering two exceeds it
+    reg = ModelRegistry(total_hbm_bytes=100)
+
+    class W:
+        def close(self):
+            pass
+
+    pool = WorkerPool(queue_max=8, worker_factory=lambda i, p: W(),
+                      mode_config=cfg, registry=reg)
+    try:
+        # registry believes it is over capacity after the first load (the
+        # estimate exceeds 100 bytes), so switching evicts the stale mode
+        pool.switch_mode("b").result(timeout=5)
+        names = {m["name"] for m in reg.get_hbm_stats()["models"]}
+        assert "b" in names
+        assert "a" not in names, "over-capacity cached worker must evict"
+    finally:
+        pool.shutdown(drain=False, timeout=1)
