@@ -454,6 +454,8 @@ class WorkerPool:
             "queue_depth": self.queue.qsize(),
             "queue_max": self.queue.maxsize,
             "worker_loaded": self.worker is not None,
+            "warm_modes": list(self._mode_cache),
+            "mode_cache_size": self.mode_cache_size,
             "shutdown": self._shutdown.is_set(),
         }
 

@@ -52,6 +52,7 @@ async def list_modes(request: web.Request) -> web.Response:
     _require_mode_system(state)
     d = state.mode_config.to_dict()
     d["current_mode"] = state.pool.current_mode
+    d["warm_modes"] = state.pool.get_status().get("warm_modes", [])
     return web.json_response(d)
 
 
