@@ -116,10 +116,13 @@ class ModelRegistry:
         margin (same heuristic as reference model_registry.py:185-214),
         halved when serving bf16 from fp32 checkpoints."""
         total = 0
-        for root, _, files in os.walk(model_path):
-            for f in files:
-                if f.endswith((".safetensors", ".bin", ".ckpt")):
-                    total += os.path.getsize(os.path.join(root, f))
+        if os.path.isfile(model_path):  # single-file checkpoints
+            total = os.path.getsize(model_path)
+        else:
+            for root, _, files in os.walk(model_path):
+                for f in files:
+                    if f.endswith((".safetensors", ".bin", ".ckpt")):
+                        total += os.path.getsize(os.path.join(root, f))
         return int(total * 1.2 * (dtype_bytes / 4))
 
     # ------------------------------------------------------------------

@@ -157,31 +157,50 @@ class WorkerPool:
         import os
 
         mode = self.mode_config.get_mode(mode_name)
+        sig = self._mode_signature(mode)
 
         # multi-tenant cache: with DREAMLAB_MODE_CACHE > 1, up to N modes
         # stay HBM-resident and a switch back to a warm mode is instant —
         # the reference pays a full unload+reload every switch
         # (README.md:394-397, 10-20 s). Cache size 1 reproduces that
-        # unload-on-switch behavior exactly.
-        cached = self._mode_cache.pop(mode_name, None)
-        if cached is not None:
-            self._stash_current_worker()
-            self._evict_over_capacity(exclude=mode_name)
-            with self._state_lock:
-                self.worker = cached
-                self.current_mode = mode_name
-            logger.info("mode %s activated from cache", mode_name)
-            return
+        # unload-on-switch behavior exactly. Cached workers are keyed by
+        # (model path, lora files+strengths): a modes.yaml hot-reload that
+        # repoints a mode invalidates its warm worker instead of serving
+        # stale weights.
+        with self._state_lock:
+            entry = self._mode_cache.pop(mode_name, None)
+        if entry is not None:
+            cached_sig, cached_worker = entry
+            if cached_sig == sig:
+                self._stash_current_worker()
+                with self._state_lock:
+                    self.worker = cached_worker
+                    self.current_mode = mode_name
+                logger.info("mode %s activated from cache", mode_name)
+                return
+            logger.info(
+                "mode %s config changed since caching; reloading", mode_name
+            )
+            self._dispose_worker(mode_name, cached_worker)
 
         self._stash_current_worker()
+        # make room BEFORE the load allocates: evict LRU warm workers until
+        # the estimate fits (can_fit degrades to True without device stats,
+        # so a stats-less backend never churns the cache)
+        estimate = self.registry.estimate_model_hbm(mode.model)
+        while not self.registry.can_fit(estimate):
+            victim = self._pop_lru_cached()
+            if victim is None:
+                break
+            self._dispose_worker(*victim)
         used_before = self.registry.get_used_hbm()
         t0 = time.time()
         # per-mode LoRAs (with strengths) merge at load — injected test
         # factories with the plain (worker_id, model_path) signature still work
         try:
-            sig = inspect.signature(self._factory)
-            takes_loras = "loras" in sig.parameters or any(
-                p.kind is p.VAR_KEYWORD for p in sig.parameters.values()
+            fsig = inspect.signature(self._factory)
+            takes_loras = "loras" in fsig.parameters or any(
+                p.kind is p.VAR_KEYWORD for p in fsig.parameters.values()
             )
         except (TypeError, ValueError):
             takes_loras = False
@@ -213,50 +232,59 @@ class WorkerPool:
             hbm_bytes=hbm,
             loras=[l.display_name for l in mode.loras],
         )
-        # make room BEFORE the new mode counts against capacity
-        self._evict_over_capacity(exclude=mode_name)
         with self._state_lock:
             self.worker = worker
             self.current_mode = mode_name
         logger.info("mode %s loaded in %.1fs", mode_name, time.time() - t0)
 
     # ------------------------------------------------------------------
-    # worker cache management
+    # worker cache management (all _mode_cache mutations under _state_lock;
+    # dispose — device frees, gc — happens outside it)
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _mode_signature(mode) -> tuple:
+        return (
+            mode.model,
+            tuple((l.file, l.strength) for l in (mode.loras or [])),
+        )
+
+    def _pop_lru_locked(self):
+        """Pop the least-recently-used cache entry. Lock must be held."""
+        mode, (_sig, worker) = next(iter(self._mode_cache.items()))
+        del self._mode_cache[mode]
+        return mode, worker
+
+    def _pop_lru_cached(self):
+        with self._state_lock:
+            if not self._mode_cache:
+                return None
+            return self._pop_lru_locked()
+
     def _stash_current_worker(self):
-        """Move the active worker into the cache (cache size 1 = evict it
-        immediately, reproducing the reference's unload-on-switch)."""
+        """Park the active worker in the cache (cache size 1 disposes it
+        immediately — the reference's unload-on-switch behavior)."""
+        victims = []
         with self._state_lock:
             worker, mode = self.worker, self.current_mode
             self.worker = None
             self.current_mode = None
-        if worker is None:
-            return
-        if mode:
-            self._mode_cache[mode] = worker  # most-recently-used at the end
-        if len(self._mode_cache) >= max(self.mode_cache_size, 1):
-            self._evict_lru(keep=max(self.mode_cache_size - 1, 0))
-
-    def _evict_lru(self, keep: int):
-        while len(self._mode_cache) > keep:
-            mode, worker = next(iter(self._mode_cache.items()))
-            del self._mode_cache[mode]
+            if worker is not None and mode and self.mode_cache_size > 1:
+                try:
+                    sig = self._mode_signature(self.mode_config.get_mode(mode))
+                except Exception:
+                    sig = None
+                if sig is not None:
+                    self._mode_cache[mode] = (sig, worker)  # MRU at the end
+                    worker = None  # kept warm
+            # reserve one slot for the incoming active worker
+            keep = max(self.mode_cache_size - 1, 0)
+            while len(self._mode_cache) > keep:
+                victims.append(self._pop_lru_locked())
+        if worker is not None:
             self._dispose_worker(mode, worker)
-
-    def _evict_over_capacity(self, exclude: Optional[str] = None):
-        """Drop LRU cached workers while the registry says HBM is tight."""
-        while self._mode_cache:
-            if self.registry.get_hbm_stats().get("available_gb", 1e9) > 0:
-                break
-            for mode in list(self._mode_cache):
-                if mode == exclude:
-                    continue
-                worker = self._mode_cache.pop(mode)
-                self._dispose_worker(mode, worker)
-                break
-            else:
-                break
+        for v in victims:
+            self._dispose_worker(*v)
 
     def _dispose_worker(self, mode: Optional[str], worker):
         if mode:
@@ -271,13 +299,17 @@ class WorkerPool:
 
     def _unload_current_worker(self):
         """Unload the active worker AND everything cached (shutdown path)."""
+        victims = []
         with self._state_lock:
             worker, mode = self.worker, self.current_mode
             self.worker = None
             self.current_mode = None
+            while self._mode_cache:
+                victims.append(self._pop_lru_locked())
         if worker is not None:
             self._dispose_worker(mode, worker)
-        self._evict_lru(keep=0)
+        for v in victims:
+            self._dispose_worker(*v)
 
     # ------------------------------------------------------------------
     def _start_worker_thread(self):
@@ -454,10 +486,14 @@ class WorkerPool:
             "queue_depth": self.queue.qsize(),
             "queue_max": self.queue.maxsize,
             "worker_loaded": self.worker is not None,
-            "warm_modes": list(self._mode_cache),
+            "warm_modes": self._warm_modes(),
             "mode_cache_size": self.mode_cache_size,
             "shutdown": self._shutdown.is_set(),
         }
+
+    def _warm_modes(self):
+        with self._state_lock:
+            return list(self._mode_cache)
 
     def shutdown(self, *, drain: bool = True, timeout: float = 30.0):
         """Graceful drain then stop (reference worker_pool.py:396-418)."""

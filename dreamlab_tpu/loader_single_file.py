@@ -523,8 +523,14 @@ def load_single_file(path: str) -> PipelineBundle:
     unet_cfg = SD15_UNET if has_cond_proj else UNetConfig(
         **{**SD15_UNET.__dict__, "time_cond_proj_dim": None}
     )
-    if cad == 1024:  # SD2.1-class
-        unet_cfg = UNetConfig(**{**unet_cfg.__dict__, "cross_attention_dim": 1024})
+    if cad == 1024:  # SD2.x-class: 64-dim attention heads, not SD1.5's 8
+        unet_cfg = UNetConfig(**{
+            **unet_cfg.__dict__,
+            "cross_attention_dim": 1024,
+            "num_attention_heads": tuple(
+                max(1, c // 64) for c in unet_cfg.block_out_channels
+            ),
+        })
 
     unet_params = convert_unet(_translate_unet(tensors, unet_cfg), unet_cfg)
     vae_cfg = SD15_VAE
@@ -537,18 +543,20 @@ def load_single_file(path: str) -> PipelineBundle:
     )
 
     text_t = _translate_text(tensors)
-    penultimate, act = False, "quick_gelu"
+    penultimate, penultimate_ln, act, is_sd2_text = False, False, "quick_gelu", False
     if not text_t and any(
         k.startswith("cond_stage_model.model.") for k in tensors
     ):
         # SD2.x: OpenCLIP ViT-H text tower (fused in_proj, gelu), conditioned
-        # on the penultimate hidden state. prediction_type stays epsilon —
-        # v-prediction checkpoints (768-v) need a scheduler config override,
-        # which single files do not carry.
+        # on the *final-layer-normed* penultimate hidden state (diffusers
+        # serves a truncated 23-layer tower ending in final_layer_norm).
+        # prediction_type stays epsilon — v-prediction checkpoints (768-v)
+        # need a scheduler config override, which single files do not carry.
         text_t = _translate_text_openclip(
             tensors, prefix="cond_stage_model.model."
         )
-        penultimate, act = True, "gelu"
+        penultimate, penultimate_ln, act = True, True, "gelu"
+        is_sd2_text = True
     if not text_t:
         raise ValueError(f"{path}: no text tower (cond_stage_model) found")
     hidden = text_t["text_model.embeddings.token_embedding.weight"].shape[1]
@@ -563,11 +571,15 @@ def load_single_file(path: str) -> PipelineBundle:
            "intermediate_size": text_t[
                "text_model.encoder.layers.0.mlp.fc1.weight"
            ].shape[0],
-           "hidden_act": act, "penultimate": penultimate}
+           "hidden_act": act, "penultimate": penultimate,
+           "penultimate_ln": penultimate_ln}
     )
     text_params = convert_clip_text(text_t, text_cfg)
 
-    tokenizer = CLIPTokenizer.from_pretrained(_find_tokenizer_dir(path))
+    tok_kwargs = {"pad_token": "!"} if is_sd2_text else {}
+    tokenizer = CLIPTokenizer.from_pretrained(
+        _find_tokenizer_dir(path), **tok_kwargs
+    )
 
     return PipelineBundle(
         arch=arch,

@@ -99,7 +99,16 @@ def encode_text(
     if cfg.projection_dim is not None:
         pooled = linear(params["text_projection"], pooled)
 
-    seq_out = hidden_states[-2] if cfg.penultimate else final
+    if cfg.penultimate:
+        seq_out = hidden_states[-2]
+        if cfg.penultimate_ln:
+            # SD2.x convention: penultimate state IS final-layer-normed
+            # (diffusers runs a truncated tower ending in final_layer_norm);
+            # SDXL takes the raw penultimate state
+            seq_out = layer_norm(params["final_ln"], seq_out,
+                                 eps=cfg.layer_norm_eps)
+    else:
+        seq_out = final
     return seq_out, pooled
 
 

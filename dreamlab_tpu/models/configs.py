@@ -25,6 +25,9 @@ class CLIPTextConfig:
     layer_norm_eps: float = 1e-5
     # SDXL reads the penultimate hidden state ("clip skip"); 0 = final.
     penultimate: bool = False
+    # SD2.x applies the final LayerNorm to the penultimate state (diffusers
+    # drops the last layer of a 23-layer tower and norms); SDXL does not.
+    penultimate_ln: bool = False
     # OpenCLIP text encoders project the pooled EOS embedding.
     projection_dim: Optional[int] = None
 

@@ -132,24 +132,31 @@ _PROFILE = {"dir": None}
 
 
 async def profiler_start(request: web.Request) -> web.Response:
-    import jax
-
-    if _PROFILE["dir"] is not None:
-        return web.json_response(
-            {"detail": f"trace already running: {_PROFILE['dir']}"}, status=409
-        )
     import os
     import tempfile
     import time as _time
 
+    import jax
+
+    # parse the body BEFORE the running-check: no await between check and
+    # set, so two concurrent starts cannot both pass the guard
     try:
         body = await request.json()
     except Exception:
         body = {}
+    if _PROFILE["dir"] is not None:
+        return web.json_response(
+            {"detail": f"trace already running: {_PROFILE['dir']}"}, status=409
+        )
     trace_dir = body.get("dir") or os.path.join(
         tempfile.gettempdir(), f"dreamlab-trace-{int(_time.time())}"
     )
-    jax.profiler.start_trace(trace_dir)
+    try:
+        jax.profiler.start_trace(trace_dir)
+    except Exception as e:
+        return web.json_response(
+            {"detail": f"start_trace failed: {e}"}, status=500
+        )
     _PROFILE["dir"] = trace_dir
     return web.json_response({"status": "tracing", "dir": trace_dir})
 
@@ -159,8 +166,15 @@ async def profiler_stop(request: web.Request) -> web.Response:
 
     if _PROFILE["dir"] is None:
         return web.json_response({"detail": "no trace running"}, status=409)
+    try:
+        jax.profiler.stop_trace()
+    except Exception as e:
+        # keep the running marker: the JAX trace may still be active and a
+        # retry (or a fixed trace dir) must remain possible
+        return web.json_response(
+            {"detail": f"stop_trace failed: {e}"}, status=500
+        )
     trace_dir, _PROFILE["dir"] = _PROFILE["dir"], None
-    jax.profiler.stop_trace()
     return web.json_response({"status": "stopped", "dir": trace_dir})
 
 

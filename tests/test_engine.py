@@ -519,6 +519,9 @@ def test_pool_inflight_settles_on_shutdown(tmp_path):
         def run_jobs_pipelined(self, specs):
             return lambda: [(b"ok", s.seed) for s in specs]
 
+        def run_job(self, spec):  # solo path if the batch window misses
+            return (b"ok", spec.seed)
+
         def close(self):
             pass
 
@@ -600,28 +603,83 @@ def test_mode_cache_size_one_matches_reference_behavior(tmp_path, monkeypatch):
         pool.shutdown(drain=False, timeout=1)
 
 
-def test_mode_cache_evicts_when_hbm_tight(tmp_path, monkeypatch):
-    """Cached (non-active) workers are evicted LRU-first when the registry
-    reports no available HBM."""
+def test_mode_cache_evicts_before_load_when_hbm_tight(tmp_path, monkeypatch):
+    """Warm workers evict LRU-first BEFORE a new load allocates, driven by
+    the registry's can_fit estimate — not after the allocation."""
+    import yaml as _yaml
+
     monkeypatch.setenv("DREAMLAB_MODE_CACHE", "3")
-    cfg = ModeConfigManager(
-        write_modes_yaml(tmp_path / "m.yaml", modes=("a", "b", "c"))
-    )
-    # capacity fits ~one model estimate: registering two exceeds it
-    reg = ModelRegistry(total_hbm_bytes=100)
+    # two real model files whose size estimates each exceed half the capacity
+    for name in ("a", "b"):
+        (tmp_path / f"{name}.safetensors").write_bytes(b"x" * 200)  # est ≈ 120 B
+    (tmp_path / "m.yaml").write_text(_yaml.safe_dump({
+        "model_root": str(tmp_path),
+        "default_mode": "a",
+        "modes": {n: {"model": f"{n}.safetensors"} for n in ("a", "b")},
+    }))
+    cfg = ModeConfigManager(str(tmp_path / "m.yaml"))
+    reg = ModelRegistry(total_hbm_bytes=150)  # fits one, not two
+
+    order = []
 
     class W:
+        def __init__(self, mode):
+            self.mode = mode
+
+        def close(self):
+            order.append(("closed", self.mode))
+
+    pool = WorkerPool(queue_max=8, worker_factory=lambda i, p: W(p),
+                      mode_config=cfg, registry=reg)
+    try:
+        active_a = pool.worker
+        pool.switch_mode("b").result(timeout=5)
+        names = {m["name"] for m in reg.get_hbm_stats()["models"]}
+        assert names == {"b"}, names
+        # 'a' was closed BEFORE 'b' was constructed
+        assert ("closed", active_a.mode) in order
+        assert pool.get_status()["warm_modes"] == []
+    finally:
+        pool.shutdown(drain=False, timeout=1)
+
+
+def test_mode_cache_invalidated_by_config_change(tmp_path, monkeypatch):
+    """A modes.yaml hot-reload that repoints a mode discards its warm
+    worker instead of serving stale weights."""
+    import yaml as _yaml
+
+    monkeypatch.setenv("DREAMLAB_MODE_CACHE", "4")
+    cfg_path = tmp_path / "m.yaml"
+
+    def write(model_a):
+        cfg_path.write_text(_yaml.safe_dump({
+            "model_root": str(tmp_path),
+            "default_mode": "a",
+            "modes": {"a": {"model": model_a}, "b": {"model": "mb"}},
+        }))
+
+    write("ma")
+    cfg = ModeConfigManager(str(cfg_path))
+    reg = ModelRegistry(total_hbm_bytes=1 << 30)
+    created = []
+
+    class W:
+        def __init__(self, path):
+            self.path = path
+
         def close(self):
             pass
 
-    pool = WorkerPool(queue_max=8, worker_factory=lambda i, p: W(),
+    pool = WorkerPool(queue_max=8, worker_factory=lambda i, p: W(p),
                       mode_config=cfg, registry=reg)
     try:
-        # registry believes it is over capacity after the first load (the
-        # estimate exceeds 100 bytes), so switching evicts the stale mode
+        first = pool.worker
         pool.switch_mode("b").result(timeout=5)
-        names = {m["name"] for m in reg.get_hbm_stats()["models"]}
-        assert "b" in names
-        assert "a" not in names, "over-capacity cached worker must evict"
+        # repoint mode 'a' and hot-reload the config
+        write("ma-v2")
+        cfg.reload()
+        pool.switch_mode("a").result(timeout=5)
+        assert pool.worker is not first, "stale cached worker served"
+        assert pool.worker.path.endswith("ma-v2")
     finally:
         pool.shutdown(drain=False, timeout=1)

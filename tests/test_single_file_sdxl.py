@@ -349,3 +349,48 @@ def test_sd21_single_file_openclip_tower(tmp_path):
     cfg_final = configs.CLIPTextConfig(**{**cfg.__dict__, "penultimate": False})
     seq_final, _ = clip_text.encode_text(params, ids, cfg_final)
     assert not np.allclose(np.asarray(seq), np.asarray(seq_final))
+
+
+def test_penultimate_ln_equals_truncated_tower():
+    """SD2.x conditioning = final-layer-normed penultimate state: on an
+    L-layer tower, penultimate_ln=True must equal running an (L-1)-layer
+    tower (same weights, last layer dropped) with its final LN — exactly
+    diffusers' truncated 23-of-24-layer SD2.1 text encoder."""
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(4)
+    tok = make_test_tokenizer(["cat"])
+    full = configs.CLIPTextConfig(
+        vocab_size=len(tok.encoder), hidden_size=64, num_layers=3,
+        num_heads=1, intermediate_size=128, hidden_act="gelu",
+        penultimate=True, penultimate_ln=True,
+    )
+    params = clip_text.init_params(full, rs)
+    ids = jnp.asarray(tok("a cat"))
+    got, _ = clip_text.encode_text(params, ids, full)
+
+    truncated_cfg = configs.CLIPTextConfig(
+        **{**full.__dict__, "num_layers": 2,
+           "penultimate": False, "penultimate_ln": False}
+    )
+    truncated_params = {**params, "layers": params["layers"][:2]}
+    want, _ = clip_text.encode_text(truncated_params, ids, truncated_cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_sd2_unet_heads_are_64_dim():
+    """SD2.x-class single files must get 64-dim attention heads (5,10,20,20),
+    not SD1.5's 8-per-block — wrong head partition silently produces noise."""
+    from dreamlab_tpu.models.configs import SD15_UNET
+
+    heads = tuple(max(1, c // 64) for c in SD15_UNET.block_out_channels)
+    assert heads == (5, 10, 20, 20)
+    # and the loader's SD2 branch applies exactly that rule (source-checked
+    # here so a regression to the SD1.5 preset is caught)
+    import inspect
+
+    from dreamlab_tpu import loader_single_file as lsf
+
+    src = inspect.getsource(lsf.load_single_file)
+    assert "num_attention_heads" in src and "c // 64" in src
