@@ -510,3 +510,53 @@ def test_styles_endpoint(client):
     assert resp.status == 200
     data = _json.loads(body)
     assert "styles" in data and isinstance(data["styles"], list)
+
+
+def test_generate_sdxl_over_rest(tmp_path):
+    """SDXL (dual towers, CFG batch-doubling) through the full REST path."""
+    import jax.numpy as jnp
+
+    from dreamlab_tpu.pipeline import LCMPipeline
+    from dreamlab_tpu.testing import random_bundle
+
+    cfgfile = write_modes_yaml(tmp_path / "modes.yaml", modes=("xl",))
+    mode_config = ModeConfigManager(str(cfgfile))
+    registry = ModelRegistry(total_hbm_bytes=16 << 30)
+    pipe = LCMPipeline(random_bundle("sdxl", tiny=True), dtype=jnp.float32)
+    pool = WorkerPool(
+        queue_max=8, worker_factory=lambda i, p: TPUPipelineWorker(pipe, i),
+        mode_config=mode_config, registry=registry,
+    )
+    app = create_app(
+        ServerConfig(default_size="32x32", default_steps=2),
+        pool=pool, storage=InMemoryStorageProvider(),
+        mode_config=mode_config, registry=registry, skip_startup=True,
+    )
+    loop = asyncio.new_event_loop()
+    cl = TestClient(TestServer(app, loop=loop), loop=loop)
+    loop.run_until_complete(cl.start_server())
+    try:
+        async def gen(body):
+            resp = await cl.post("/generate", json=body)
+            return resp, await resp.read()
+
+        # CFG path (guidance > 1 on a non-LCM SDXL) + negative prompt
+        resp, png = loop.run_until_complete(gen({
+            "prompt": "a castle", "negative_prompt": "blurry",
+            "size": "32x32", "num_inference_steps": 2,
+            "guidance_scale": 4.0, "seed": 11,
+        }))
+        assert resp.status == 200, png
+        assert png.startswith(b"\x89PNG")
+        assert resp.headers["X-Seed"] == "11"
+        # determinism through REST on the CFG path
+        resp2, png2 = loop.run_until_complete(gen({
+            "prompt": "a castle", "negative_prompt": "blurry",
+            "size": "32x32", "num_inference_steps": 2,
+            "guidance_scale": 4.0, "seed": 11,
+        }))
+        assert png == png2
+    finally:
+        loop.run_until_complete(cl.close())
+        pool.shutdown(drain=False, timeout=1)
+        loop.close()
