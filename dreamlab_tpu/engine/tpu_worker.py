@@ -149,7 +149,7 @@ class TPUPipelineWorker:
         )
 
     # ------------------------------------------------------------------
-    def _generate(self, spec: GenSpec):
+    def _generate(self, spec: GenSpec, *, pipelined: bool = False):
         width, height = spec.dims()
         seed = spec.seed
         if seed is None:
@@ -166,13 +166,13 @@ class TPUPipelineWorker:
                     guidance_scale=spec.guidance_scale,
                     negative_prompt=spec.negative_prompt,
                     seed=seed,
+                    pipelined=pipelined,
                 )
             finally:
                 self._apply_style(None, 0)
         return res
 
-    def run_job(self, spec: GenSpec) -> Tuple[bytes, int]:
-        res = self._generate(spec)
+    def _encode_result(self, spec: GenSpec, res) -> Tuple[bytes, int]:
         png = png_encode(
             res.images[0],
             metadata={
@@ -184,6 +184,21 @@ class TPUPipelineWorker:
             },
         )
         return png, res.seed
+
+    def run_job(self, spec: GenSpec) -> Tuple[bytes, int]:
+        return self._encode_result(spec, self._generate(spec))
+
+    def run_job_pipelined(self, spec: GenSpec):
+        """Dispatch now, finalize later (solo variant of run_jobs_pipelined):
+        the legacy service overlaps request i's image d2h + PNG encode with
+        request i+1's compute."""
+        res = self._generate(spec, pipelined=True)
+
+        def finalize() -> Tuple[bytes, int]:
+            res.wait()
+            return self._encode_result(spec, res)
+
+        return finalize
 
     def run_job_with_latents(self, spec: GenSpec) -> Tuple[bytes, int, bytes]:
         res = self._generate(spec)

@@ -66,25 +66,53 @@ class PipelineService:
 
     # ------------------------------------------------------------------
     def _worker_loop(self, worker):
-        while not self._shutdown.is_set():
+        # one dispatched-but-unfinalized job may be in flight per worker:
+        # its image d2h + PNG encode overlap the next job's device compute
+        # (same pattern as WorkerPool's cross-batch pipelining)
+        runner = getattr(worker, "run_job_pipelined", None)
+        inflight = None  # (fut, finalize)
+
+        def settle():
+            nonlocal inflight
+            if inflight is None:
+                return
+            fut, finalize = inflight
+            inflight = None
             try:
-                item = self.queue.get(timeout=0.25)
-            except queue.Empty:
-                continue
-            if item is None:
-                self.queue.task_done()
-                break
-            spec, with_latents, fut = item
-            try:
-                if with_latents:
-                    fut.set_result(worker.run_job_with_latents(spec))
-                else:
-                    fut.set_result(worker.run_job(spec))
+                fut.set_result(finalize())
             except Exception as e:
                 logger.exception("legacy job failed")
                 fut.set_exception(e)
-            finally:
-                self.queue.task_done()
+
+        try:
+            while not self._shutdown.is_set():
+                try:
+                    item = self.queue.get(timeout=0.25)
+                except queue.Empty:
+                    settle()
+                    continue
+                if item is None:
+                    self.queue.task_done()
+                    break
+                spec, with_latents, fut = item
+                try:
+                    if with_latents:
+                        settle()  # fingerprints need the settled path
+                        fut.set_result(worker.run_job_with_latents(spec))
+                    elif runner is not None:
+                        finalize = runner(spec)
+                        settle()
+                        inflight = (fut, finalize)
+                    else:
+                        settle()
+                        fut.set_result(worker.run_job(spec))
+                except Exception as e:
+                    logger.exception("legacy job failed")
+                    fut.set_exception(e)
+                finally:
+                    self.queue.task_done()
+        finally:
+            settle()
 
     def submit(self, spec: GenSpec, *, with_latents: bool = False) -> Future:
         if self._shutdown.is_set():

@@ -560,3 +560,26 @@ def test_generate_sdxl_over_rest(tmp_path):
         loop.run_until_complete(cl.close())
         pool.shutdown(drain=False, timeout=1)
         loop.close()
+
+
+def test_legacy_pipelined_matches_direct(shared_pipe):
+    """The legacy loop's dispatch-then-settle path returns byte-identical
+    results to a direct (blocking) run_job."""
+    from dreamlab_tpu.engine.base import GenSpec
+    from dreamlab_tpu.engine.tpu_worker import TPUPipelineWorker
+    from dreamlab_tpu.serving.legacy_service import PipelineService
+
+    spec = GenSpec(prompt="pipeline me", size="32x32",
+                   num_inference_steps=2, seed=21)
+    want = TPUPipelineWorker(shared_pipe, 0).run_job(spec)
+
+    svc = PipelineService(lambda i: TPUPipelineWorker(shared_pipe, i),
+                          num_workers=1, queue_max=8)
+    try:
+        futs = [svc.submit(GenSpec(prompt="pipeline me", size="32x32",
+                                   num_inference_steps=2, seed=21))
+                for _ in range(3)]
+        for f in futs:
+            assert f.result(timeout=60) == want
+    finally:
+        svc.shutdown()
