@@ -428,6 +428,8 @@ class WorkerPool:
                                 continue
                             settle_inflight()
                             inflight = (batch, finalize)
+                            if not pending and self.queue.empty():
+                                settle_inflight()
                             continue
                         try:
                             results = self.worker.run_jobs(
@@ -441,8 +443,30 @@ class WorkerPool:
                                 j.future.set_exception(e)
                         continue
 
-                # anything else (solo generation, mode switch, custom job)
-                # runs strictly after the in-flight batch completes
+                # solo generation jobs pipeline the same way (one request's
+                # d2h/encode hides behind the next one's compute)
+                if (
+                    isinstance(job, GenerationJob)
+                    and not job.with_latents
+                    and hasattr(self.worker, "run_job_pipelined")
+                ):
+                    try:
+                        fin = self.worker.run_job_pipelined(job.spec)
+                    except Exception as e:
+                        logger.exception("job %s failed", job.job_id)
+                        job.future.set_exception(e)
+                        settle_inflight()
+                        continue
+                    settle_inflight()
+                    inflight = ([job], lambda fin=fin: [fin()])
+                    # a lone request must not wait for the idle tick: only
+                    # keep it in flight if more work is already queued
+                    if not pending and self.queue.empty():
+                        settle_inflight()
+                    continue
+
+                # anything else (mode switch, custom, fingerprint job)
+                # runs strictly after the in-flight work completes
                 settle_inflight()
                 try:
                     if job.job_type is JobType.MODE_SWITCH:

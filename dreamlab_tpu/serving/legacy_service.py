@@ -103,6 +103,8 @@ class PipelineService:
                         finalize = runner(spec)
                         settle()
                         inflight = (fut, finalize)
+                        if self.queue.empty():  # lone request: no idle-tick wait
+                            settle()
                     else:
                         settle()
                         fut.set_result(worker.run_job(spec))
