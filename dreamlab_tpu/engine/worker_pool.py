@@ -193,8 +193,20 @@ class WorkerPool:
             if victim is None:
                 break
             self._dispose_worker(*victim)
-        used_before = self.registry.get_used_hbm()
         t0 = time.time()
+        worker = self._build_worker(mode_name, mode)
+        with self._state_lock:
+            self.worker = worker
+            self.current_mode = mode_name
+        logger.info("mode %s loaded in %.1fs", mode_name, time.time() - t0)
+
+    def _build_worker(self, mode_name: str, mode):
+        """Create + warm a worker for a mode and register its HBM footprint
+        (shared by activation loads and cache preloading)."""
+        import inspect
+        import os
+
+        used_before = self.registry.get_used_hbm()
         # per-mode LoRAs (with strengths) merge at load — injected test
         # factories with the plain (worker_id, model_path) signature still work
         try:
@@ -232,10 +244,7 @@ class WorkerPool:
             hbm_bytes=hbm,
             loras=[l.display_name for l in mode.loras],
         )
-        with self._state_lock:
-            self.worker = worker
-            self.current_mode = mode_name
-        logger.info("mode %s loaded in %.1fs", mode_name, time.time() - t0)
+        return worker
 
     # ------------------------------------------------------------------
     # worker cache management (all _mode_cache mutations under _state_lock;
@@ -518,6 +527,49 @@ class WorkerPool:
     def _warm_modes(self):
         with self._state_lock:
             return list(self._mode_cache)
+
+    def preload_modes(self, mode_names) -> list:
+        """Load modes into the warm cache without activating them — a
+        deployment warms its whole rotation at startup so even the FIRST
+        switch to each mode is instant. Runs on the pool thread (queued as
+        a custom job) to keep all cache mutation single-writer; returns the
+        list of modes actually loaded."""
+
+        def _preload(_worker):
+            loaded = []
+            for name in mode_names:
+                if name == self.current_mode:
+                    continue
+                with self._state_lock:
+                    if name in self._mode_cache:
+                        continue
+                    room = (
+                        len(self._mode_cache)
+                        < max(self.mode_cache_size - 1, 0)
+                    )
+                if not room:
+                    logger.warning(
+                        "preload: cache full (size %d); skipping %s",
+                        self.mode_cache_size, name,
+                    )
+                    continue
+                try:
+                    mode = self.mode_config.get_mode(name)
+                except KeyError:
+                    logger.warning("preload: unknown mode %s", name)
+                    continue
+                estimate = self.registry.estimate_model_hbm(mode.model)
+                if not self.registry.can_fit(estimate):
+                    logger.warning("preload: no HBM headroom for %s", name)
+                    continue
+                worker = self._build_worker(name, mode)
+                with self._state_lock:
+                    self._mode_cache[name] = (self._mode_signature(mode), worker)
+                loaded.append(name)
+                logger.info("preloaded mode %s into the warm cache", name)
+            return loaded
+
+        return self.submit_job(CustomJob(_preload)).result()
 
     def shutdown(self, *, drain: bool = True, timeout: float = 30.0):
         """Graceful drain then stop (reference worker_pool.py:396-418)."""

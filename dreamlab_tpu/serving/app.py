@@ -66,6 +66,9 @@ class ServerConfig:
     # multi-chip layout, e.g. "data=8" or "data=4,model=2" (DREAMLAB_MESH):
     # batch DP over the data axis, Megatron-style TP over the model axis
     mesh_spec: Optional[str] = None
+    # modes to pre-warm into the cache at startup (DREAMLAB_PRELOAD_MODES:
+    # comma list or "all"); needs DREAMLAB_MODE_CACHE > 1
+    preload_modes: Optional[str] = None
 
     @classmethod
     def from_env(cls) -> "ServerConfig":
@@ -108,6 +111,7 @@ class ServerConfig:
             comfy_enabled=env.get("COMFYUI_ENABLED", "0") in ("1", "true", "True"),
             warmup=env.get("WARMUP", "1") not in ("0", "false", "False"),
             mesh_spec=env.get("DREAMLAB_MESH") or None,
+            preload_modes=env.get("DREAMLAB_PRELOAD_MODES") or None,
         )
 
 
@@ -497,6 +501,19 @@ async def _startup(app: web.Application):
                     queue_max=cfg.queue_max, mode_config=state.mode_config,
                     worker_factory=factory,
                 )
+                if cfg.preload_modes:
+                    names = (
+                        state.mode_config.mode_names()
+                        if cfg.preload_modes.strip() == "all"
+                        else [n.strip() for n in cfg.preload_modes.split(",") if n.strip()]
+                    )
+                    # queue behind the default load; don't block server bind
+                    import threading as _threading
+
+                    _threading.Thread(
+                        target=lambda: state.pool.preload_modes(names),
+                        name="mode-preloader", daemon=True,
+                    ).start()
             elif cfg.model_path:
                 from .legacy_service import PipelineService
                 from ..engine.worker_factory import create_tpu_worker

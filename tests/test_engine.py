@@ -683,3 +683,53 @@ def test_mode_cache_invalidated_by_config_change(tmp_path, monkeypatch):
         assert pool.worker.path.endswith("ma-v2")
     finally:
         pool.shutdown(drain=False, timeout=1)
+
+
+def test_preload_modes_warms_cache_without_activating(tmp_path, monkeypatch):
+    monkeypatch.setenv("DREAMLAB_MODE_CACHE", "3")
+    cfg = ModeConfigManager(
+        write_modes_yaml(tmp_path / "m.yaml", modes=("a", "b", "c"))
+    )
+    reg = ModelRegistry(total_hbm_bytes=1 << 30)
+    created = []
+
+    class W:
+        def __init__(self, path):
+            self.path = path
+
+        def close(self):
+            pass
+
+    pool = WorkerPool(queue_max=8, worker_factory=lambda i, p: W(p),
+                      mode_config=cfg, registry=reg)
+    try:
+        loaded = pool.preload_modes(["b", "c", "a", "nope"])
+        assert loaded == ["b", "c"]  # 'a' active, 'nope' unknown
+        assert pool.current_mode == "a"  # active mode untouched
+        assert set(pool.get_status()["warm_modes"]) == {"b", "c"}
+        # warm switch reuses the preloaded worker instantly
+        warm_b = dict(pool._mode_cache)["b"][1]
+        pool.switch_mode("b").result(timeout=5)
+        assert pool.worker is warm_b
+    finally:
+        pool.shutdown(drain=False, timeout=1)
+
+
+def test_preload_respects_cache_capacity(tmp_path, monkeypatch):
+    monkeypatch.setenv("DREAMLAB_MODE_CACHE", "2")  # active + 1 warm slot
+    cfg = ModeConfigManager(
+        write_modes_yaml(tmp_path / "m.yaml", modes=("a", "b", "c"))
+    )
+    reg = ModelRegistry(total_hbm_bytes=1 << 30)
+
+    class W:
+        def close(self):
+            pass
+
+    pool = WorkerPool(queue_max=8, worker_factory=lambda i, p: W(),
+                      mode_config=cfg, registry=reg)
+    try:
+        loaded = pool.preload_modes(["b", "c"])
+        assert loaded == ["b"]  # second preload refused: cache full
+    finally:
+        pool.shutdown(drain=False, timeout=1)
