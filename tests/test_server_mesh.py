@@ -93,3 +93,41 @@ def test_mesh_output_matches_meshless(tmp_path):
         a = solo.generate("t", **kw)
         b = meshed.generate("t", **kw)
         np.testing.assert_allclose(a.latents, b.latents, rtol=1e-4, atol=1e-4)
+
+
+def test_app_preloads_modes_in_background(tmp_path, monkeypatch):
+    """DREAMLAB_PRELOAD_MODES wiring: the second mode lands in the warm
+    cache shortly after startup without blocking the server."""
+    import time
+
+    monkeypatch.setenv("WARMUP", "0")
+    monkeypatch.setenv("DREAMLAB_MODE_CACHE", "2")
+    ckpt = make_tiny_checkpoint(tmp_path / "ckpt")
+    cfg_path = tmp_path / "modes.yaml"
+    cfg_path.write_text(yaml.safe_dump({
+        "model_root": str(tmp_path),
+        "default_mode": "tiny",
+        "modes": {"tiny": {"model": "ckpt"}, "tiny2": {"model": "ckpt"}},
+    }))
+
+    from dreamlab_tpu.serving.app import STATE_KEY, ServerConfig, create_app
+
+    app = create_app(ServerConfig(
+        modes_config=str(cfg_path), preload_modes="tiny2",
+        default_size="32x32", default_steps=2,
+    ))
+    loop = asyncio.new_event_loop()
+    cl = TestClient(TestServer(app, loop=loop), loop=loop)
+    loop.run_until_complete(cl.start_server())  # startup hooks build the pool
+    try:
+        state = app[STATE_KEY]
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if state.pool.get_status()["warm_modes"] == ["tiny2"]:
+                break
+            time.sleep(0.2)
+        assert state.pool.get_status()["warm_modes"] == ["tiny2"]
+        assert state.pool.current_mode == "tiny"
+    finally:
+        loop.run_until_complete(cl.close())
+        loop.close()
