@@ -528,6 +528,24 @@ class WorkerPool:
         with self._state_lock:
             return list(self._mode_cache)
 
+    def evict_mode(self, mode_name: str) -> bool:
+        """Drop a warm (non-active) mode from the cache. Queued on the pool
+        thread (single-writer); returns True if something was evicted."""
+
+        def _evict(_worker):
+            if mode_name == self.current_mode:
+                raise ValueError(
+                    f"mode {mode_name!r} is active; switch away first"
+                )
+            with self._state_lock:
+                entry = self._mode_cache.pop(mode_name, None)
+            if entry is None:
+                return False
+            self._dispose_worker(mode_name, entry[1])
+            return True
+
+        return self.submit_job(CustomJob(_evict)).result()
+
     def preload_modes(self, mode_names) -> list:
         """Load modes into the warm cache without activating them — a
         deployment warms its whole rotation at startup so even the FIRST

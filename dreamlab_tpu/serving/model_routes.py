@@ -116,6 +116,79 @@ async def list_styles(request: web.Request) -> web.Response:
     })
 
 
+async def load_model(request: web.Request) -> web.Response:
+    """POST /api/models/load {mode}: warm a mode into the HBM cache.
+
+    The reference reserves this endpoint as 501 (model_routes.py:209-228);
+    here it becomes real exactly when the capability exists
+    (DREAMLAB_MODE_CACHE > 1) and stays 501-compatible otherwise."""
+    state = _state(request)
+    _require_mode_system(state)
+    if state.pool.mode_cache_size <= 1:
+        return await not_implemented(request)
+    body = await request.json()
+    mode = body.get("mode")
+    if not mode:
+        raise web.HTTPBadRequest(
+            text=json.dumps({"detail": "field 'mode' required"}),
+            content_type="application/json",
+        )
+    if not state.mode_config.has_mode(mode):
+        raise web.HTTPNotFound(
+            text=json.dumps({"detail": f"unknown mode {mode!r}"}),
+            content_type="application/json",
+        )
+    loop = asyncio.get_event_loop()
+    loaded = await loop.run_in_executor(
+        None, state.pool.preload_modes, [mode]
+    )
+    already = (
+        mode == state.pool.current_mode
+        or mode in state.pool.get_status()["warm_modes"]
+    )
+    if not loaded and not already:
+        return web.json_response(
+            {"detail": f"could not load {mode!r} (cache full or HBM tight)"},
+            status=409,
+        )
+    return web.json_response({
+        "status": "loaded" if loaded else "already_resident", "mode": mode,
+    })
+
+
+async def unload_model(request: web.Request) -> web.Response:
+    """POST /api/models/unload {mode}: evict a warm (non-active) mode."""
+    state = _state(request)
+    _require_mode_system(state)
+    if state.pool.mode_cache_size <= 1:
+        return await not_implemented(request)
+    body = await request.json()
+    mode = body.get("mode")
+    if not mode:
+        raise web.HTTPBadRequest(
+            text=json.dumps({"detail": "field 'mode' required"}),
+            content_type="application/json",
+        )
+    if mode == state.pool.current_mode:
+        return web.json_response(
+            {"detail": f"mode {mode!r} is active; switch away first"},
+            status=409,
+        )
+    loop = asyncio.get_event_loop()
+    try:
+        evicted = await loop.run_in_executor(
+            None, state.pool.evict_mode, mode
+        )
+    except ValueError as e:
+        return web.json_response({"detail": str(e)}, status=409)
+    if not evicted:
+        raise web.HTTPNotFound(
+            text=json.dumps({"detail": f"mode {mode!r} is not resident"}),
+            content_type="application/json",
+        )
+    return web.json_response({"status": "unloaded", "mode": mode})
+
+
 async def not_implemented(request: web.Request) -> web.Response:
     # reserved endpoints (reference model_routes.py:183-228)
     return web.json_response(
@@ -185,8 +258,8 @@ def register_model_routes(app: web.Application):
     app.router.add_post("/api/modes/reload", reload_modes)
     app.router.add_get("/api/vram", hbm_stats)  # name kept for compat
     app.router.add_get("/api/hbm", hbm_stats)
-    app.router.add_post("/api/models/load", not_implemented)
-    app.router.add_post("/api/models/unload", not_implemented)
+    app.router.add_post("/api/models/load", load_model)
+    app.router.add_post("/api/models/unload", unload_model)
     app.router.add_get("/api/styles", list_styles)
     app.router.add_post("/api/profiler/start", profiler_start)
     app.router.add_post("/api/profiler/stop", profiler_stop)

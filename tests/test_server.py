@@ -583,3 +583,64 @@ def test_legacy_pipelined_matches_direct(shared_pipe):
             assert f.result(timeout=60) == want
     finally:
         svc.shutdown()
+
+
+def test_models_load_unload_with_cache(tmp_path, shared_pipe, monkeypatch):
+    """With DREAMLAB_MODE_CACHE>1 the reserved /api/models/load|unload
+    endpoints become real (warm a mode / evict a warm mode); with the
+    default cache size they stay 501 like the reference."""
+    import json as _json
+
+    monkeypatch.setenv("DREAMLAB_MODE_CACHE", "2")
+    cfgfile = write_modes_yaml(tmp_path / "modes.yaml", modes=("alpha", "beta"))
+    mode_config = ModeConfigManager(str(cfgfile))
+    registry = ModelRegistry(total_hbm_bytes=16 << 30)
+    pool = WorkerPool(
+        queue_max=8,
+        worker_factory=lambda i, p: TPUPipelineWorker(shared_pipe, i),
+        mode_config=mode_config, registry=registry,
+    )
+    app = create_app(
+        ServerConfig(default_size="32x32", default_steps=2),
+        pool=pool, storage=InMemoryStorageProvider(),
+        mode_config=mode_config, registry=registry, skip_startup=True,
+    )
+    loop = asyncio.new_event_loop()
+    cl = TestClient(TestServer(app, loop=loop), loop=loop)
+    loop.run_until_complete(cl.start_server())
+
+    def call(method, path, **kw):
+        async def go():
+            resp = await cl.request(method, path, **kw)
+            return resp.status, _json.loads(await resp.read())
+        return loop.run_until_complete(go())
+
+    try:
+        status, body = call("POST", "/api/models/load", json={"mode": "beta"})
+        assert status == 200 and body["status"] == "loaded"
+        assert pool.get_status()["warm_modes"] == ["beta"]
+        # idempotent-ish: already resident
+        status, body = call("POST", "/api/models/load", json={"mode": "beta"})
+        assert status == 200 and body["status"] == "already_resident"
+        # cannot unload the active mode
+        status, _ = call("POST", "/api/models/unload", json={"mode": "alpha"})
+        assert status == 409
+        status, body = call("POST", "/api/models/unload", json={"mode": "beta"})
+        assert status == 200 and body["status"] == "unloaded"
+        assert pool.get_status()["warm_modes"] == []
+        status, _ = call("POST", "/api/models/unload", json={"mode": "beta"})
+        assert status == 404
+        status, _ = call("POST", "/api/models/load", json={"mode": "nope"})
+        assert status == 404
+    finally:
+        loop.run_until_complete(cl.close())
+        pool.shutdown(drain=False, timeout=1)
+        loop.close()
+
+
+def test_models_load_unload_501_without_cache(client):
+    """Default cache size keeps the reference's reserved-501 contract."""
+    resp, _ = client("POST", "/api/models/load", json={"mode": "alpha"})
+    assert resp.status == 501
+    resp, _ = client("POST", "/api/models/unload", json={"mode": "alpha"})
+    assert resp.status == 501
