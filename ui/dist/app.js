@@ -271,10 +271,13 @@ let dreamModeTimer = null;
 function setDreamMode(on) {
   if (dreamModeTimer) { clearInterval(dreamModeTimer); dreamModeTimer = null; }
   if (!on) return;
-  const basePrompt = $("prompt").value.trim();
-  if (!basePrompt) { $("p-dream").checked = false; return; }
+  if (!$("prompt").value.trim()) { $("p-dream").checked = false; return; }
   dreamModeTimer = setInterval(() => {
     if (generating) return; // skip a beat rather than queueing up
+    // read the prompt each beat: editing it re-targets the dream
+    // (the reference's guideDream, useImageGeneration.js:404-414)
+    const basePrompt = $("prompt").value.trim();
+    if (!basePrompt) return;
     const temp = Math.max(0, Math.min(1, +$("p-dream-temp").value || 0.3));
     generate({
       prompt: dreamVariation(basePrompt, temp),
@@ -316,7 +319,14 @@ function imageCard(blobUrl, meta) {
   };
   const reuse = el("button", "mini", "use seed");
   reuse.onclick = () => { $("p-seed").value = meta.seed; };
-  row.append(again, reuse);
+  const dl = el("a", "mini", "save");
+  dl.href = blobUrl;
+  dl.download = `dreamlab-${meta.seed ?? "img"}.png`;
+  const copy = el("button", "mini", "copy prompt");
+  copy.onclick = () => {
+    if (navigator.clipboard) navigator.clipboard.writeText(meta.prompt || "");
+  };
+  row.append(again, reuse, dl, copy);
   card.append(row);
   return card;
 }
