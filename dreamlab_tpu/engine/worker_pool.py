@@ -353,7 +353,9 @@ class WorkerPool:
                 and not nxt.with_latents
                 and self.worker.batchable(first.spec, nxt.spec)
             ):
-                batch.append(nxt)
+                if nxt.future.set_running_or_notify_cancel():
+                    batch.append(nxt)
+                # cancelled joiners are simply dropped
             else:
                 pending.append(nxt)
                 break
@@ -417,6 +419,10 @@ class WorkerPool:
                     self.queue.task_done()
                 if job is None:
                     break
+                # client gone (disconnect/timeout cancelled the future):
+                # skip the job instead of burning device time
+                if not job.future.set_running_or_notify_cancel():
+                    continue
 
                 if self._can_batch(job):
                     batch = self._collect_batch(job, pending)

@@ -176,7 +176,14 @@ async def error_middleware(request: web.Request, handler):
 
 
 async def _await_future(fut, timeout: float):
-    return await asyncio.wait_for(asyncio.wrap_future(fut), timeout=timeout)
+    """Await a concurrent Future; a client disconnect cancels it so a
+    still-queued job is skipped instead of burning device time (the pool
+    checks set_running_or_notify_cancel before executing)."""
+    try:
+        return await asyncio.wait_for(asyncio.wrap_future(fut), timeout=timeout)
+    except (asyncio.CancelledError, asyncio.TimeoutError):
+        fut.cancel()  # no-op once running; drops jobs still in the queue
+        raise
 
 
 def _spec_from_request(req: GenerateRequest, state: ServerState) -> GenSpec:

@@ -95,6 +95,9 @@ class PipelineService:
                     self.queue.task_done()
                     break
                 spec, with_latents, fut = item
+                if not fut.set_running_or_notify_cancel():
+                    self.queue.task_done()  # client gone: skip
+                    continue
                 try:
                     if with_latents:
                         settle()  # fingerprints need the settled path

@@ -165,6 +165,9 @@ class SuperResService:
             if job is None:
                 self.queue.task_done()
                 break
+            if not job.future.set_running_or_notify_cancel():
+                self.queue.task_done()  # client gone: skip
+                continue
             try:
                 t0 = time.time()
                 out, passes = worker.upscale_bytes(

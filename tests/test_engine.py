@@ -733,3 +733,23 @@ def test_preload_respects_cache_capacity(tmp_path, monkeypatch):
         assert loaded == ["b"]  # second preload refused: cache full
     finally:
         pool.shutdown(drain=False, timeout=1)
+
+
+def test_cancelled_jobs_are_skipped(pool):
+    """A future cancelled while queued (client disconnect) never executes."""
+    gate = threading.Event()
+    pool.submit_job(CustomJob(lambda w: gate.wait(5)))
+    time.sleep(0.1)
+    doomed = pool.submit_job(GenerationJob(GenSpec(
+        prompt="doomed", size="32x32", num_inference_steps=2, seed=1,
+    )))
+    alive = pool.submit_job(GenerationJob(GenSpec(
+        prompt="alive", size="32x32", num_inference_steps=2, seed=2,
+    )))
+    assert doomed.cancel()
+    gate.set()
+    png, seed = alive.result(timeout=10)
+    assert seed == 2
+    assert doomed.cancelled()
+    # the worker never saw the doomed spec
+    assert all(j.prompt != "doomed" for j in pool.worker.jobs)
