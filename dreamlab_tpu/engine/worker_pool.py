@@ -153,9 +153,6 @@ class WorkerPool:
         return create_tpu_worker(worker_id, model_path, loras=loras)
 
     def _load_mode(self, mode_name: str):
-        import inspect
-        import os
-
         mode = self.mode_config.get_mode(mode_name)
         sig = self._mode_signature(mode)
 
@@ -412,7 +409,11 @@ class WorkerPool:
                     job = pending.pop(0)
                 else:
                     try:
-                        job = self.queue.get(timeout=0.25)
+                        # short tick while work is in flight: a settle must
+                        # not wait out the full idle timeout
+                        job = self.queue.get(
+                            timeout=0.01 if inflight else 0.25
+                        )
                     except queue.Empty:
                         settle_inflight()
                         continue
@@ -422,6 +423,8 @@ class WorkerPool:
                 # client gone (disconnect/timeout cancelled the future):
                 # skip the job instead of burning device time
                 if not job.future.set_running_or_notify_cancel():
+                    if not pending and self.queue.empty():
+                        settle_inflight()
                     continue
 
                 if self._can_batch(job):
@@ -437,9 +440,9 @@ class WorkerPool:
                                 finalize = runner([j.spec for j in batch])
                             except Exception as e:
                                 logger.exception("batched dispatch failed")
+                                settle_inflight()  # FIFO first
                                 for j in batch:
                                     j.future.set_exception(e)
-                                settle_inflight()
                                 continue
                             settle_inflight()
                             inflight = (batch, finalize)
@@ -469,8 +472,8 @@ class WorkerPool:
                         fin = self.worker.run_job_pipelined(job.spec)
                     except Exception as e:
                         logger.exception("job %s failed", job.job_id)
+                        settle_inflight()  # FIFO: earlier job resolves first
                         job.future.set_exception(e)
-                        settle_inflight()
                         continue
                     settle_inflight()
                     inflight = ([job], lambda fin=fin: [fin()])
@@ -559,41 +562,44 @@ class WorkerPool:
         a custom job) to keep all cache mutation single-writer; returns the
         list of modes actually loaded."""
 
-        def _preload(_worker):
-            loaded = []
-            for name in mode_names:
-                if name == self.current_mode:
-                    continue
-                with self._state_lock:
-                    if name in self._mode_cache:
-                        continue
-                    room = (
-                        len(self._mode_cache)
-                        < max(self.mode_cache_size - 1, 0)
-                    )
-                if not room:
-                    logger.warning(
-                        "preload: cache full (size %d); skipping %s",
-                        self.mode_cache_size, name,
-                    )
-                    continue
-                try:
-                    mode = self.mode_config.get_mode(name)
-                except KeyError:
-                    logger.warning("preload: unknown mode %s", name)
-                    continue
-                estimate = self.registry.estimate_model_hbm(mode.model)
-                if not self.registry.can_fit(estimate):
-                    logger.warning("preload: no HBM headroom for %s", name)
-                    continue
-                worker = self._build_worker(name, mode)
-                with self._state_lock:
-                    self._mode_cache[name] = (self._mode_signature(mode), worker)
-                loaded.append(name)
-                logger.info("preloaded mode %s into the warm cache", name)
-            return loaded
+        def _preload_one(_worker, name):
+            if name == self.current_mode:
+                return None
+            with self._state_lock:
+                if name in self._mode_cache:
+                    return None
+                room = (
+                    len(self._mode_cache)
+                    < max(self.mode_cache_size - 1, 0)
+                )
+            if not room:
+                logger.warning(
+                    "preload: cache full (size %d); skipping %s",
+                    self.mode_cache_size, name,
+                )
+                return None
+            try:
+                mode = self.mode_config.get_mode(name)
+            except KeyError:
+                logger.warning("preload: unknown mode %s", name)
+                return None
+            estimate = self.registry.estimate_model_hbm(mode.model)
+            if not self.registry.can_fit(estimate):
+                logger.warning("preload: no HBM headroom for %s", name)
+                return None
+            worker = self._build_worker(name, mode)
+            with self._state_lock:
+                self._mode_cache[name] = (self._mode_signature(mode), worker)
+            logger.info("preloaded mode %s into the warm cache", name)
+            return name
 
-        return self.submit_job(CustomJob(_preload)).result()
+        # one job PER mode: generation requests interleave between loads
+        # instead of queueing behind the whole rotation
+        futures = [
+            self.submit_job(CustomJob(_preload_one, name))
+            for name in mode_names
+        ]
+        return [name for name in (f.result() for f in futures) if name]
 
     def shutdown(self, *, drain: bool = True, timeout: float = 30.0):
         """Graceful drain then stop (reference worker_pool.py:396-418)."""

@@ -87,7 +87,9 @@ class PipelineService:
         try:
             while not self._shutdown.is_set():
                 try:
-                    item = self.queue.get(timeout=0.25)
+                    item = self.queue.get(
+                        timeout=0.01 if inflight else 0.25
+                    )
                 except queue.Empty:
                     settle()
                     continue
@@ -97,6 +99,7 @@ class PipelineService:
                 spec, with_latents, fut = item
                 if not fut.set_running_or_notify_cancel():
                     self.queue.task_done()  # client gone: skip
+                    settle()
                     continue
                 try:
                     if with_latents:

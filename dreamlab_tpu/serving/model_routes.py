@@ -74,7 +74,11 @@ async def switch_mode(request: web.Request) -> web.Response:
     fut = state.pool.switch_mode(mode)
     wait = float(body.get("wait_seconds", 0) or 0)
     if wait > 0:
-        await asyncio.wait_for(asyncio.wrap_future(fut), timeout=wait)
+        # shield: a wait timeout / client disconnect must NOT cancel the
+        # queued switch — it still applies, exactly like wait_seconds=0
+        await asyncio.wait_for(
+            asyncio.shield(asyncio.wrap_future(fut)), timeout=wait
+        )
         return web.json_response({"status": "switched", "mode": mode})
     return web.json_response({"status": "queued", "mode": mode})
 
@@ -123,8 +127,13 @@ async def load_model(request: web.Request) -> web.Response:
     here it becomes real exactly when the capability exists
     (DREAMLAB_MODE_CACHE > 1) and stays 501-compatible otherwise."""
     state = _state(request)
-    _require_mode_system(state)
-    if state.pool.mode_cache_size <= 1:
+    if (
+        state.pool is None
+        or state.mode_config is None
+        or state.pool.mode_cache_size <= 1
+    ):
+        # reference contract: reserved endpoints stay 501 (also for the
+        # legacy backend, where the reference returned 501, not 503)
         return await not_implemented(request)
     body = await request.json()
     mode = body.get("mode")
@@ -138,8 +147,7 @@ async def load_model(request: web.Request) -> web.Response:
             text=json.dumps({"detail": f"unknown mode {mode!r}"}),
             content_type="application/json",
         )
-    loop = asyncio.get_event_loop()
-    loaded = await loop.run_in_executor(
+    loaded = await asyncio.get_running_loop().run_in_executor(
         None, state.pool.preload_modes, [mode]
     )
     already = (
@@ -159,8 +167,11 @@ async def load_model(request: web.Request) -> web.Response:
 async def unload_model(request: web.Request) -> web.Response:
     """POST /api/models/unload {mode}: evict a warm (non-active) mode."""
     state = _state(request)
-    _require_mode_system(state)
-    if state.pool.mode_cache_size <= 1:
+    if (
+        state.pool is None
+        or state.mode_config is None
+        or state.pool.mode_cache_size <= 1
+    ):
         return await not_implemented(request)
     body = await request.json()
     mode = body.get("mode")
@@ -174,9 +185,8 @@ async def unload_model(request: web.Request) -> web.Response:
             {"detail": f"mode {mode!r} is active; switch away first"},
             status=409,
         )
-    loop = asyncio.get_event_loop()
     try:
-        evicted = await loop.run_in_executor(
+        evicted = await asyncio.get_running_loop().run_in_executor(
             None, state.pool.evict_mode, mode
         )
     except ValueError as e:
