@@ -464,7 +464,7 @@ def _load_single_file_sdxl(path: str, tensors, cad: int) -> PipelineBundle:
         unet_params=unet_params,
         vae_cfg=vae_cfg,
         vae_params=vae_params,
-        scheduler_cfg=LCMConfig(),
+        scheduler_cfg=_load_sidecar_scheduler(path),
         vae_encoder_params=vae_encoder_params,
         tokenizer_2=tokenizer_2,
         text_cfg_2=text_cfg_2,
@@ -475,6 +475,29 @@ def _load_single_file_sdxl(path: str, tensors, cad: int) -> PipelineBundle:
 # ---------------------------------------------------------------------------
 # entry
 # ---------------------------------------------------------------------------
+
+
+def _load_sidecar_scheduler(ckpt_path: str) -> LCMConfig:
+    """Single files carry no scheduler config — diffusers guesses; here a
+    sidecar wins: ``<ckpt>.scheduler_config.json`` or a sibling
+    ``scheduler/scheduler_config.json``. This is how v-prediction SD2.1-768
+    checkpoints declare themselves; default stays epsilon."""
+    import dataclasses as _dc
+    import json as _json
+
+    base = os.path.splitext(ckpt_path)[0]
+    for cand in (
+        base + ".scheduler_config.json",
+        os.path.join(os.path.dirname(ckpt_path), "scheduler",
+                     "scheduler_config.json"),
+    ):
+        if os.path.exists(cand):
+            with open(cand) as f:
+                raw = _json.load(f)
+            known = {f.name for f in _dc.fields(LCMConfig)}
+            logger.info("single-file scheduler config from %s", cand)
+            return LCMConfig(**{k: v for k, v in raw.items() if k in known})
+    return LCMConfig()
 
 
 def _find_tokenizer_dir(ckpt_path: str, which: str = "tokenizer") -> Optional[str]:
@@ -591,6 +614,6 @@ def load_single_file(path: str) -> PipelineBundle:
         unet_params=unet_params,
         vae_cfg=vae_cfg,
         vae_params=vae_params,
-        scheduler_cfg=LCMConfig(),
+        scheduler_cfg=_load_sidecar_scheduler(path),
         vae_encoder_params=vae_encoder_params,
     )

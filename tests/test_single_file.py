@@ -190,3 +190,33 @@ def test_unet_ldm_roundtrip_tiny():
     assert len(la) == len(lb)
     for a, b in zip(la, lb):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_single_file_sidecar_scheduler(tmp_path):
+    """<ckpt>.scheduler_config.json declares v-prediction (SD2.1-768 style);
+    without it the default stays epsilon."""
+    import json as _json
+
+    from dreamlab_tpu.loader_single_file import _load_sidecar_scheduler
+
+    ckpt = tmp_path / "v21.safetensors"
+    ckpt.write_bytes(b"")
+    assert _load_sidecar_scheduler(str(ckpt)).prediction_type == "epsilon"
+
+    (tmp_path / "v21.scheduler_config.json").write_text(_json.dumps({
+        "prediction_type": "v_prediction", "beta_schedule": "scaled_linear",
+        "unknown_field": 1,
+    }))
+    cfg = _load_sidecar_scheduler(str(ckpt))
+    assert cfg.prediction_type == "v_prediction"
+
+    # sibling scheduler/ dir also works
+    ckpt2 = tmp_path / "sub" / "m.safetensors"
+    ckpt2.parent.mkdir()
+    ckpt2.write_bytes(b"")
+    sched = tmp_path / "sub" / "scheduler"
+    sched.mkdir()
+    (sched / "scheduler_config.json").write_text(_json.dumps({
+        "prediction_type": "v_prediction",
+    }))
+    assert _load_sidecar_scheduler(str(ckpt2)).prediction_type == "v_prediction"
