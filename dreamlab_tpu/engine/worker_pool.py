@@ -127,6 +127,11 @@ class WorkerPool:
         self.max_batch = max_batch if max_batch is not None else int(
             os.environ.get("DREAMLAB_MAX_BATCH", "8")
         )
+        # coalescing window used only while a previous batch is computing on
+        # device (the wait is hidden behind that compute) — seconds
+        self.batch_window = float(
+            os.environ.get("DREAMLAB_BATCH_WINDOW_MS", "20")
+        ) / 1e3
         self.queue: "queue.Queue[Optional[Job]]" = queue.Queue(maxsize=queue_max)
         self.mode_config = mode_config or get_mode_config()
         self.registry = registry or get_model_registry()
@@ -333,15 +338,29 @@ class WorkerPool:
             and hasattr(self.worker, "batchable")
         )
 
-    def _collect_batch(self, first: GenerationJob, pending: list) -> list:
+    def _collect_batch(
+        self, first: GenerationJob, pending: list, *, window: float = 0.0
+    ) -> list:
         """Greedily coalesce adjacent compatible jobs; stop at the first
         incompatible one so FIFO semantics (incl. the mode-switch ordering
-        guarantee) hold."""
+        guarantee) hold.
+
+        window: seconds to wait for more joiners. Callers pass it only
+        while a previous batch is still computing on device — the wait is
+        hidden behind that compute, so slightly-staggered arrivals coalesce
+        for free (batch-8 is ~4× as efficient per image as batch-1)."""
         batch = [first]
+        deadline = time.time() + window if window > 0 else 0.0
         while len(batch) < self.max_batch:
             try:
-                nxt = self.queue.get_nowait()
+                remaining = deadline - time.time()
+                if remaining > 0:
+                    nxt = self.queue.get(timeout=min(remaining, 0.005))
+                else:
+                    nxt = self.queue.get_nowait()
             except queue.Empty:
+                if deadline - time.time() > 0:
+                    continue
                 break
             self.queue.task_done()
             if (
@@ -428,7 +447,10 @@ class WorkerPool:
                     continue
 
                 if self._can_batch(job):
-                    batch = self._collect_batch(job, pending)
+                    batch = self._collect_batch(
+                        job, pending,
+                        window=self.batch_window if inflight else 0.0,
+                    )
                     if len(batch) > 1:
                         runner = getattr(
                             self.worker, "run_jobs_pipelined", None

@@ -753,3 +753,72 @@ def test_cancelled_jobs_are_skipped(pool):
     assert doomed.cancelled()
     # the worker never saw the doomed spec
     assert all(j.prompt != "doomed" for j in pool.worker.jobs)
+
+
+def test_batch_window_fills_while_inflight(tmp_path, monkeypatch):
+    """While a batch computes on device, staggered arrivals coalesce for
+    free: the collect window is open only when work is in flight."""
+    monkeypatch.setenv("DREAMLAB_BATCH_WINDOW_MS", "400")
+    cfg = ModeConfigManager(write_modes_yaml(tmp_path / "m.yaml", modes=("a",)))
+    reg = ModelRegistry(total_hbm_bytes=1 << 30)
+    dispatches = []
+    release_first = threading.Event()
+
+    class W:
+        def __init__(self, i, p):
+            pass
+
+        @staticmethod
+        def batchable(a, b):
+            return a.size == b.size
+
+        def run_jobs(self, specs):
+            return self.run_jobs_pipelined(specs)()
+
+        def run_jobs_pipelined(self, specs):
+            prompts = [s.prompt for s in specs]
+            dispatches.append(prompts)
+            first = len(dispatches) == 1
+
+            def finalize():
+                if first:
+                    release_first.wait(5)  # keep batch 1 "computing"
+                return [(b"ok", s.seed) for s in specs]
+
+            return finalize
+
+        def run_job(self, spec):
+            dispatches.append([spec.prompt])
+            return (b"ok", spec.seed)
+
+        def close(self):
+            pass
+
+    pool = WorkerPool(queue_max=32, worker_factory=W, mode_config=cfg,
+                      registry=reg, max_batch=4)
+    try:
+        gate = threading.Event()
+        pool.submit_job(CustomJob(lambda w: gate.wait(5)))
+        time.sleep(0.1)
+        # wave 1: two jobs -> batch 1 dispatches and stays "in flight"
+        f1 = [pool.submit_job(GenerationJob(GenSpec(
+            prompt=f"a{i}", size="32x32", num_inference_steps=2, seed=i,
+        ))) for i in range(2)]
+        gate.set()
+        time.sleep(0.15)  # batch 1 dispatched; loop now idles with inflight
+        # wave 2: staggered arrivals within the 400 ms window
+        f2a = pool.submit_job(GenerationJob(GenSpec(
+            prompt="b0", size="32x32", num_inference_steps=2, seed=10)))
+        time.sleep(0.1)
+        f2b = pool.submit_job(GenerationJob(GenSpec(
+            prompt="b1", size="32x32", num_inference_steps=2, seed=11)))
+        release_first.set()
+        for f in f1 + [f2a, f2b]:
+            f.result(timeout=10)
+        assert ["a0", "a1"] in dispatches
+        assert ["b0", "b1"] in dispatches, (
+            f"staggered jobs should coalesce while batch 1 is in flight: "
+            f"{dispatches}"
+        )
+    finally:
+        pool.shutdown(drain=False, timeout=1)
