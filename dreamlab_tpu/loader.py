@@ -614,14 +614,25 @@ def load_pipeline(model_dir: str, *, load_vae_encoder: bool = False) -> Pipeline
         else None
     )
 
+    # SDXL-refiner checkpoints carry ONLY the second (OpenCLIP bigG) tower:
+    # text_encoder_2/tokenizer_2 exist, text_encoder/tokenizer do not. The
+    # single tower then serves as THE text tower (seq context = 1280 = cad,
+    # projected pooled feeds the micro-conditioning).
+    is_refiner = (
+        arch == "sdxl"
+        and not os.path.isdir(sub("text_encoder"))
+        and os.path.isdir(sub("text_encoder_2"))
+    )
+    te_dir = sub("text_encoder_2") if is_refiner else sub("text_encoder")
+    tok_dir = sub("tokenizer_2") if is_refiner else sub("tokenizer")
     text_cfg = text_config_from_json(
-        _read_json(os.path.join(sub("text_encoder"), "config.json")),
+        _read_json(os.path.join(te_dir, "config.json")),
         penultimate=(arch == "sdxl"),
     )
     text_params = convert_clip_text(
-        _load_safetensors(find_weights_file(sub("text_encoder"))), text_cfg
+        _load_safetensors(find_weights_file(te_dir)), text_cfg
     )
-    tokenizer = CLIPTokenizer.from_pretrained(sub("tokenizer"))
+    tokenizer = CLIPTokenizer.from_pretrained(tok_dir)
 
     sched_path = os.path.join(sub("scheduler"), "scheduler_config.json")
     if os.path.exists(sched_path):
@@ -645,7 +656,7 @@ def load_pipeline(model_dir: str, *, load_vae_encoder: bool = False) -> Pipeline
         vae_encoder_params=vae_encoder_params,
     )
 
-    if arch == "sdxl" and os.path.isdir(sub("text_encoder_2")):
+    if arch == "sdxl" and not is_refiner and os.path.isdir(sub("text_encoder_2")):
         bundle.text_cfg_2 = text_config_from_json(
             _read_json(os.path.join(sub("text_encoder_2"), "config.json")),
             penultimate=True,

@@ -157,6 +157,31 @@ class LCMPipeline:
     # host-side preparation
     # ------------------------------------------------------------------
 
+    def _time_ids(self, height: int, width: int, bsz: int,
+                  aesthetic_score: float = 6.0):
+        """SDXL micro-conditioning ids; the count derives from the UNet
+        config (pcei = pooled_dim + n_ids x add_dim): base models take 6
+        (orig wh, crop, target wh), the refiner 5 (orig wh, crop,
+        aesthetic score — diffusers' requires_aesthetics_score path)."""
+        cfg = self.bundle.unet_cfg
+        pooled_dim = (
+            self.bundle.text_cfg_2.projection_dim
+            if self.bundle.text_cfg_2 is not None
+            else (self.bundle.text_cfg.projection_dim or 0)
+        ) or 0
+        n_ids = 6
+        if cfg.projection_class_embeddings_input_dim and cfg.addition_time_embed_dim:
+            n_ids = (
+                cfg.projection_class_embeddings_input_dim - pooled_dim
+            ) // cfg.addition_time_embed_dim
+        if n_ids == 5:
+            ids = [height, width, 0, 0, aesthetic_score]
+        else:
+            ids = [height, width, 0, 0, height, width]
+        import jax.numpy as _jnp
+
+        return _jnp.asarray([ids] * bsz, _jnp.float32)
+
     def _schedule(
         self, steps: int, original_steps: Optional[int], strength: float = 1.0
     ) -> LCMSchedule:
@@ -204,9 +229,15 @@ class LCMPipeline:
         lat_c = self.latent_channels
 
         def encode(text_params, text_params_2, ids, ids_2):
-            if not is_xl or text_params_2 is None:
+            if not is_xl:
                 seq, _ = clip_text.encode_text(text_params, ids, text_cfg)
                 return seq, None
+            if text_params_2 is None:
+                # SDXL-refiner: single bigG tower — its sequence IS the
+                # 1280-wide context and its projected pooled output feeds
+                # the micro-conditioning
+                seq, pooled = clip_text.encode_text(text_params, ids, text_cfg)
+                return seq, pooled
             seq1, _ = clip_text.encode_text(text_params, ids, text_cfg)
             seq2, pooled = clip_text.encode_text(text_params_2, ids_2, text_cfg_2)
             return jnp.concatenate([seq1, seq2], axis=-1), pooled
@@ -502,9 +533,7 @@ class LCMPipeline:
         else:
             w_emb = jnp.zeros((bsz, 1), jnp.float32)
 
-        time_ids = jnp.asarray(
-            [[height, width, 0, 0, height, width]] * bsz, jnp.float32
-        )
+        time_ids = self._time_ids(height, width, bsz)
         t_prep = time.time()
 
         lat0 = jnp.asarray(lat0)
@@ -737,9 +766,7 @@ class LCMPipeline:
             )
         else:
             w_emb = jnp.zeros((bsz, 1), jnp.float32)
-        time_ids = jnp.asarray(
-            [[height, width, 0, 0, height, width]] * bsz, jnp.float32
-        )
+        time_ids = self._time_ids(height, width, bsz)
         t_prep = time.time()
 
         fn = self._get_compiled(

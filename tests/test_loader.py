@@ -182,6 +182,8 @@ def export_clip(params, cfg):
         _put_linear(out, b + ".mlp.fc1", layer["fc1"])
         _put_linear(out, b + ".mlp.fc2", layer["fc2"])
     _put_norm(out, pre + "final_layer_norm", params["final_ln"])
+    if "text_projection" in params:
+        _put_linear(out, "text_projection", params["text_projection"])
     return out
 
 
