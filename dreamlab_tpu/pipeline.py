@@ -447,6 +447,7 @@ class LCMPipeline:
         step_noises: Optional[np.ndarray] = None,
         rng: Optional[str] = None,
         pipelined: bool = False,
+        aesthetic_score: float = 6.0,
     ) -> GenerationResult:
         """Generate images. Returns uint8 [B, H, W, 3] + final latents.
 
@@ -533,7 +534,7 @@ class LCMPipeline:
         else:
             w_emb = jnp.zeros((bsz, 1), jnp.float32)
 
-        time_ids = self._time_ids(height, width, bsz)
+        time_ids = self._time_ids(height, width, bsz, aesthetic_score)
         t_prep = time.time()
 
         lat0 = jnp.asarray(lat0)
@@ -673,6 +674,7 @@ class LCMPipeline:
         *,
         mask: Optional[np.ndarray] = None,
         strength: float = 0.5,
+        aesthetic_score: float = 6.0,
         num_inference_steps: int = 4,
         original_inference_steps: Optional[int] = None,
         guidance_scale: float = 1.0,
@@ -766,7 +768,7 @@ class LCMPipeline:
             )
         else:
             w_emb = jnp.zeros((bsz, 1), jnp.float32)
-        time_ids = self._time_ids(height, width, bsz)
+        time_ids = self._time_ids(height, width, bsz, aesthetic_score)
         t_prep = time.time()
 
         fn = self._get_compiled(
