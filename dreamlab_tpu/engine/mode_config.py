@@ -14,6 +14,8 @@ modes:
     loras:
       - file: detail.safetensors   # under lora_root
         strength: 0.8
+    embeddings:
+      - file: vivid.safetensors    # textual inversion; trigger = file stem
     defaults:
       size: "512x512"
       steps: 4
@@ -49,11 +51,20 @@ class LoRAConfig:
 
 
 @dataclasses.dataclass
+class EmbeddingConfig:
+    """Textual-inversion embedding (trigger word → learned vectors)."""
+
+    file: str
+    name: Optional[str] = None  # trigger override; default = file stem
+
+
+@dataclasses.dataclass
 class ModeConfig:
     name: str
     model: str  # absolute path after resolution
     description: str = ""
     loras: List[LoRAConfig] = dataclasses.field(default_factory=list)
+    embeddings: List[EmbeddingConfig] = dataclasses.field(default_factory=list)
     defaults: Dict = dataclasses.field(default_factory=dict)
 
     def default_size(self) -> Optional[str]:
@@ -112,11 +123,22 @@ class ModeConfigManager:
                         name=entry.get("name"),
                     )
                 )
+            embeddings = []
+            for entry in spec.get("embeddings") or []:
+                if isinstance(entry, str):
+                    entry = {"file": entry}
+                file = entry["file"]
+                if not os.path.isabs(file):
+                    file = os.path.join(lora_root, file)
+                embeddings.append(
+                    EmbeddingConfig(file=file, name=entry.get("name"))
+                )
             modes[name] = ModeConfig(
                 name=name,
                 model=model_path,
                 description=spec.get("description", ""),
                 loras=loras,
+                embeddings=embeddings,
                 defaults=dict(spec.get("defaults") or {}),
             )
 
@@ -183,6 +205,18 @@ class ModeConfigManager:
                                 "strength": l.strength,
                             }
                             for l in m.loras
+                        ],
+                        "embeddings": [
+                            {
+                                "file": e.file,
+                                "trigger": (
+                                    e.name
+                                    or os.path.splitext(
+                                        os.path.basename(e.file)
+                                    )[0]
+                                ).lower(),
+                            }
+                            for e in m.embeddings
                         ],
                         "defaults": m.defaults,
                     }

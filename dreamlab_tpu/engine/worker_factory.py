@@ -81,6 +81,7 @@ def create_tpu_worker(
     *,
     styles: Optional[Dict[str, StyleDef]] = None,
     loras=None,
+    embeddings=None,
     dtype=None,
     mesh=None,
     tensor_parallel: bool = False,
@@ -108,6 +109,12 @@ def create_tpu_worker(
         # /v1/inpaint, which need encoder weights; the loader skips them
         # gracefully when the vae file carries no encoder.* tensors.
         bundle = load_pipeline(model_path, load_vae_encoder=True)
+        if embeddings:
+            # textual inversions extend the tokenizer + embedding table
+            # BEFORE the pipeline device-puts the text params
+            from ..textual_inversion import apply_embeddings
+
+            apply_embeddings(bundle, embeddings)
         pipeline = LCMPipeline(
             bundle,
             dtype=dtype or jnp.bfloat16,

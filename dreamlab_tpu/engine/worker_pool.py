@@ -152,10 +152,13 @@ class WorkerPool:
 
     # ------------------------------------------------------------------
     @staticmethod
-    def _default_factory(worker_id: int, model_path: str, *, loras=None):
+    def _default_factory(worker_id: int, model_path: str, *, loras=None,
+                         embeddings=None):
         from .worker_factory import create_tpu_worker
 
-        return create_tpu_worker(worker_id, model_path, loras=loras)
+        return create_tpu_worker(
+            worker_id, model_path, loras=loras, embeddings=embeddings
+        )
 
     def _load_mode(self, mode_name: str):
         mode = self.mode_config.get_mode(mode_name)
@@ -218,10 +221,18 @@ class WorkerPool:
             )
         except (TypeError, ValueError):
             takes_loras = False
-        if takes_loras and mode.loras:
-            worker = self._factory(0, mode.model, loras=mode.loras)
-        else:
-            worker = self._factory(0, mode.model)
+        kwargs = {}
+        if takes_loras:
+            if mode.loras:
+                kwargs["loras"] = mode.loras
+            if getattr(mode, "embeddings", None) and (
+                "embeddings" in fsig.parameters or any(
+                    p.kind is p.VAR_KEYWORD for p in fsig.parameters.values()
+                )
+            ):
+                kwargs["embeddings"] = mode.embeddings
+        worker = self._factory(0, mode.model, **kwargs) if kwargs \
+            else self._factory(0, mode.model)
         # pre-compile the mode's default bucket so the first request after a
         # switch never compiles (reference budget: 10-20 s total switch,
         # README.md:394-397; with the persistent cache this is a disk load)
@@ -258,6 +269,10 @@ class WorkerPool:
         return (
             mode.model,
             tuple((l.file, l.strength) for l in (mode.loras or [])),
+            tuple(
+                (e.file, e.name)
+                for e in (getattr(mode, "embeddings", None) or [])
+            ),
         )
 
     def _pop_lru_locked(self):

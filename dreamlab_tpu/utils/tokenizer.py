@@ -88,6 +88,13 @@ class CLIPTokenizer:
         # CLIP pads with EOS (PadTokenId 49407)
         self.pad_id = self.encoder[pad_token] if pad_token else self.eos_id
         self._cache: Dict[str, List[str]] = {}
+        # textual-inversion triggers: lowercased word → learned token ids
+        self.triggers: Dict[str, List[int]] = {}
+
+    def add_trigger(self, word: str, ids: List[int]) -> None:
+        """Map a whole word to explicit token ids (textual inversion):
+        the word bypasses BPE and expands to its learned vectors' ids."""
+        self.triggers[word.lower()] = list(ids)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -166,6 +173,9 @@ class CLIPTokenizer:
         text = " ".join(text.split()).strip().lower()
         ids: List[int] = []
         for tok in _WORD_PATTERN.findall(text):
+            if tok in self.triggers:  # textual-inversion trigger word
+                ids.extend(self.triggers[tok])
+                continue
             btok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
             for piece in self._bpe(btok):
                 pid = self.encoder.get(piece)
