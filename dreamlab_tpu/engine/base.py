@@ -42,6 +42,7 @@ class GenSpec:
     style: Optional[str] = None
     style_level: int = 0
     original_inference_steps: Optional[int] = None
+    aesthetic_score: float = 6.0  # refiner micro-conditioning (n_ids == 5)
 
     def dims(self) -> Tuple[int, int]:
         return parse_size(self.size)

@@ -36,6 +36,8 @@ from typing import Dict, List, Optional
 
 import yaml
 
+from ..textual_inversion import trigger_word as _trigger_word
+
 logger = logging.getLogger(__name__)
 
 
@@ -209,12 +211,7 @@ class ModeConfigManager:
                         "embeddings": [
                             {
                                 "file": e.file,
-                                "trigger": (
-                                    e.name
-                                    or os.path.splitext(
-                                        os.path.basename(e.file)
-                                    )[0]
-                                ).lower(),
+                                "trigger": _trigger_word(e.file, e.name),
                             }
                             for e in m.embeddings
                         ],

@@ -167,6 +167,7 @@ class TPUPipelineWorker:
                     negative_prompt=spec.negative_prompt,
                     seed=seed,
                     pipelined=pipelined,
+                    aesthetic_score=spec.aesthetic_score,
                 )
             finally:
                 self._apply_style(None, 0)
@@ -225,6 +226,7 @@ class TPUPipelineWorker:
                     spec.prompt, image,
                     mask=mask,
                     strength=strength,
+                    aesthetic_score=spec.aesthetic_score,
                     num_inference_steps=spec.num_inference_steps,
                     original_inference_steps=spec.original_inference_steps,
                     guidance_scale=spec.guidance_scale,

@@ -485,18 +485,22 @@ def _load_sidecar_scheduler(ckpt_path: str) -> LCMConfig:
     import dataclasses as _dc
     import json as _json
 
+    from .scheduler.lcm import load_scheduler_config
+
     base = os.path.splitext(ckpt_path)[0]
-    for cand in (
-        base + ".scheduler_config.json",
-        os.path.join(os.path.dirname(ckpt_path), "scheduler",
-                     "scheduler_config.json"),
-    ):
-        if os.path.exists(cand):
-            with open(cand) as f:
-                raw = _json.load(f)
-            known = {f.name for f in _dc.fields(LCMConfig)}
-            logger.info("single-file scheduler config from %s", cand)
-            return LCMConfig(**{k: v for k, v in raw.items() if k in known})
+    sidecar = base + ".scheduler_config.json"
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            raw = _json.load(f)
+        known = {f.name for f in _dc.fields(LCMConfig)}
+        logger.info("single-file scheduler config from %s", sidecar)
+        return LCMConfig(**{k: v for k, v in raw.items() if k in known})
+    sibling = os.path.join(
+        os.path.dirname(ckpt_path), "scheduler", "scheduler_config.json"
+    )
+    if os.path.exists(sibling):
+        logger.info("single-file scheduler config from %s", sibling)
+        return load_scheduler_config(os.path.dirname(ckpt_path))
     return LCMConfig()
 
 
@@ -573,8 +577,9 @@ def load_single_file(path: str) -> PipelineBundle:
         # SD2.x: OpenCLIP ViT-H text tower (fused in_proj, gelu), conditioned
         # on the *final-layer-normed* penultimate hidden state (diffusers
         # serves a truncated 23-layer tower ending in final_layer_norm).
-        # prediction_type stays epsilon — v-prediction checkpoints (768-v)
-        # need a scheduler config override, which single files do not carry.
+        # prediction_type: epsilon by default; v-prediction checkpoints
+        # (768-v) declare it via the sidecar scheduler config
+        # (_load_sidecar_scheduler).
         text_t = _translate_text_openclip(
             tensors, prefix="cond_stage_model.model."
         )

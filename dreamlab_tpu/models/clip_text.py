@@ -93,8 +93,12 @@ def encode_text(
 
     final = layer_norm(params["final_ln"], x, eps=cfg.layer_norm_eps)
 
-    # pooled output: embedding at the EOS position of the *final* normed state
-    eos_idx = jnp.argmax(input_ids, axis=-1)
+    # pooled output: embedding at the EOS position of the *final* normed
+    # state. EOS is found by equality with the vocabulary's last id (CLIP
+    # convention: eos = vocab_size - 1), NOT by argmax — textual-inversion
+    # ids sit beyond the base vocab and would win an argmax.
+    eos_id = cfg.vocab_size - 1
+    eos_idx = jnp.argmax((input_ids == eos_id).astype(jnp.int32), axis=-1)
     pooled = final[jnp.arange(b), eos_idx]
     if cfg.projection_dim is not None:
         pooled = linear(params["text_projection"], pooled)

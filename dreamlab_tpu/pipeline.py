@@ -157,30 +157,43 @@ class LCMPipeline:
     # host-side preparation
     # ------------------------------------------------------------------
 
-    def _time_ids(self, height: int, width: int, bsz: int,
-                  aesthetic_score: float = 6.0):
-        """SDXL micro-conditioning ids; the count derives from the UNet
-        config (pcei = pooled_dim + n_ids x add_dim): base models take 6
-        (orig wh, crop, target wh), the refiner 5 (orig wh, crop,
-        aesthetic score — diffusers' requires_aesthetics_score path)."""
+    def _micro_cond_ids(self) -> int:
+        """SDXL micro-conditioning id count, derived from the UNet config
+        (pcei = pooled_dim + n_ids x add_dim): 6 for base models (orig wh,
+        crop, target wh), 5 for the refiner (orig wh, crop, aesthetic)."""
         cfg = self.bundle.unet_cfg
         pooled_dim = (
             self.bundle.text_cfg_2.projection_dim
             if self.bundle.text_cfg_2 is not None
             else (self.bundle.text_cfg.projection_dim or 0)
         ) or 0
-        n_ids = 6
         if cfg.projection_class_embeddings_input_dim and cfg.addition_time_embed_dim:
-            n_ids = (
+            return (
                 cfg.projection_class_embeddings_input_dim - pooled_dim
             ) // cfg.addition_time_embed_dim
-        if n_ids == 5:
-            ids = [height, width, 0, 0, aesthetic_score]
-        else:
-            ids = [height, width, 0, 0, height, width]
-        import jax.numpy as _jnp
+        return 6
 
-        return _jnp.asarray([ids] * bsz, _jnp.float32)
+    def _time_ids(self, height: int, width: int, bsz: int,
+                  aesthetic_score: float = 6.0,
+                  negative_aesthetic_score: float = 2.5,
+                  cfg_mode: str = "none"):
+        """SDXL micro-conditioning ids.
+
+        Shape [B, n] normally; [2, B, n] for CFG buckets, where row 0 is the
+        uncond branch — for refiners (n=5) it carries the negative aesthetic
+        score (diffusers' requires_aesthetics_score convention)."""
+        n_ids = self._micro_cond_ids()
+        if n_ids == 5:
+            cond = [height, width, 0, 0, aesthetic_score]
+            uncond = [height, width, 0, 0, negative_aesthetic_score]
+        else:
+            cond = [height, width, 0, 0, height, width]
+            uncond = cond
+        if cfg_mode == "cfg":
+            return jnp.asarray(
+                [[uncond] * bsz, [cond] * bsz], jnp.float32
+            )
+        return jnp.asarray([cond] * bsz, jnp.float32)
 
     def _schedule(
         self, steps: int, original_steps: Optional[int], strength: float = 1.0
@@ -268,12 +281,14 @@ class LCMPipeline:
                     ctx2 = jnp.concatenate([ctx_neg, ctx], axis=0)
                     kw = {}
                     if is_xl:
+                        # time_ids is [2, B, n] in cfg buckets: row 0 uncond
+                        # (negative aesthetic for refiners), row 1 cond
                         kw = dict(
                             added_text_embeds=jnp.concatenate(
                                 [pooled_neg, pooled], axis=0
                             ),
                             added_time_ids=jnp.concatenate(
-                                [time_ids, time_ids], axis=0
+                                [time_ids[0], time_ids[1]], axis=0
                             ),
                         )
                     out = unet.forward(unet_params, unet_cfg, lat2, t2, ctx2, **kw)
@@ -534,7 +549,8 @@ class LCMPipeline:
         else:
             w_emb = jnp.zeros((bsz, 1), jnp.float32)
 
-        time_ids = self._time_ids(height, width, bsz, aesthetic_score)
+        time_ids = self._time_ids(height, width, bsz, aesthetic_score,
+                                  cfg_mode=cfg_mode)
         t_prep = time.time()
 
         lat0 = jnp.asarray(lat0)
@@ -613,11 +629,13 @@ class LCMPipeline:
                 (batch, b.unet_cfg.time_cond_proj_dim), jnp.float32
             )
         if b.unet_cfg.addition_embed_type:
+            n_ids = self._micro_cond_ids()
             pooled_dim = (
-                b.text_cfg_2.projection_dim if b.text_cfg_2 else 1280
+                b.unet_cfg.projection_class_embeddings_input_dim
+                - n_ids * b.unet_cfg.addition_time_embed_dim
             )
             kw["added_text_embeds"] = jnp.zeros((batch, pooled_dim), jnp.float32)
-            kw["added_time_ids"] = jnp.zeros((batch, 6), jnp.float32)
+            kw["added_time_ids"] = jnp.zeros((batch, n_ids), jnp.float32)
 
         from .models import clip_text as ct, unet as un, vae as va
 
@@ -768,7 +786,8 @@ class LCMPipeline:
             )
         else:
             w_emb = jnp.zeros((bsz, 1), jnp.float32)
-        time_ids = self._time_ids(height, width, bsz, aesthetic_score)
+        time_ids = self._time_ids(height, width, bsz, aesthetic_score,
+                                  cfg_mode=cfg_mode)
         t_prep = time.time()
 
         fn = self._get_compiled(

@@ -196,6 +196,9 @@ def _spec_from_request(req: GenerateRequest, state: ServerState) -> GenSpec:
         negative_prompt=req.negative_prompt,
         style=req.style_lora.style if req.style_lora else None,
         style_level=req.style_lora.level if req.style_lora else 0,
+        aesthetic_score=(
+            req.aesthetic_score if req.aesthetic_score is not None else 6.0
+        ),
     )
 
 
@@ -379,6 +382,7 @@ async def img2img_handler(request: web.Request) -> web.Response:
             PILImage.open(_io.BytesIO(mask_upload.file.read())).convert("L")
         )
     strength = float(post.get("strength", 0.5))
+    aesthetic = float(post.get("aesthetic_score", 6.0))
     seed_raw = post.get("seed")
     spec = GenSpec(
         prompt=prompt,
@@ -386,13 +390,14 @@ async def img2img_handler(request: web.Request) -> web.Response:
         guidance_scale=float(post.get("guidance", 1.0)),
         seed=int(seed_raw) if seed_raw not in (None, "") else None,
         negative_prompt=str(post.get("negative_prompt") or "") or None,
+        aesthetic_score=aesthetic,
     )
 
     from ..engine.worker_pool import CustomJob
 
     fut = state.pool.submit_job(CustomJob(
         lambda worker: worker.run_img2img(
-            spec, image, strength=strength, mask=mask
+            spec, image, strength=strength, mask=mask,
         )
     ))
     png, seed = await _await_future(fut, timeout=state.config.request_timeout)

@@ -34,6 +34,8 @@ class GenerateRequest(BaseModel):
     superres_format: str = "png"
     superres_quality: int = Field(default=92, ge=1, le=100)
     superres_magnitude: int = Field(default=2, ge=1, le=3)
+    # refiner-class models only (5 micro-conditioning ids); ignored otherwise
+    aesthetic_score: Optional[float] = Field(default=None, ge=0.0, le=10.0)
 
     @field_validator("size")
     @classmethod

@@ -88,25 +88,54 @@ def apply_embeddings(bundle, entries) -> int:
         try:
             slots = load_embedding_file(path)
             word = trigger_word(path, name)
-            ids_l: List[int] = []
-            if "clip_l" in slots:
-                bundle.text_params, ids_l = _extend_tower(
-                    bundle.text_params, slots["clip_l"]
+            # route each slot to the tower whose width matches — a refiner
+            # bundle has ONE (bigG-width) tower, so a dual SDXL TI file's
+            # clip_g half applies there and the clip_l half is dropped
+            towers = [("text_params", bundle.tokenizer)]
+            if bundle.text_params_2 is not None:
+                towers.append(("text_params_2", bundle.tokenizer_2))
+            widths = {
+                attr: np.asarray(
+                    getattr(bundle, attr)["token_embedding"]["w"]
+                ).shape[1]
+                for attr, _ in towers
+            }
+            # stage all updates, commit only if at least one slot lands and
+            # none errors — no orphan rows on a partial failure
+            staged = []  # (attr, new_params, ids, tokenizer)
+            unmatched = []
+            for slot, vectors in slots.items():
+                target = None
+                for attr, tok in towers:
+                    if widths[attr] == vectors.shape[1] and all(
+                        a != attr for a, _, _, _ in staged
+                    ):
+                        target = (attr, tok)
+                        break
+                if target is None:
+                    unmatched.append(slot)
+                    continue
+                attr, tok = target
+                new_params, ids = _extend_tower(getattr(bundle, attr), vectors)
+                staged.append((attr, new_params, ids, tok))
+            if not staged:
+                raise ValueError(
+                    f"no tower matches embedding widths "
+                    f"{[v.shape[1] for v in slots.values()]} "
+                    f"(towers: {sorted(widths.values())})"
                 )
-            ids_g: List[int] = []
-            if "clip_g" in slots:
-                if bundle.text_params_2 is None:
-                    raise ValueError("clip_g embedding but no second tower")
-                bundle.text_params_2, ids_g = _extend_tower(
-                    bundle.text_params_2, slots["clip_g"]
+            for attr, new_params, ids, tok in staged:
+                setattr(bundle, attr, new_params)
+                if tok is not None:
+                    tok.add_trigger(word, ids)
+            if unmatched:
+                logger.info(
+                    "textual inversion %r: slots %s have no matching tower "
+                    "in this bundle; skipped", word, unmatched,
                 )
-            if ids_l:
-                bundle.tokenizer.add_trigger(word, ids_l)
-            if ids_g and bundle.tokenizer_2 is not None:
-                bundle.tokenizer_2.add_trigger(word, ids_g)
             logger.info(
                 "textual inversion %r: %d vector(s) from %s",
-                word, max(len(ids_l), len(ids_g)), path,
+                word, max(len(ids) for _, _, ids, _ in staged), path,
             )
             applied += 1
         except Exception as e:

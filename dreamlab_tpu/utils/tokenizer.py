@@ -172,10 +172,25 @@ class CLIPTokenizer:
         """Raw BPE ids, no specials."""
         text = " ".join(text.split()).strip().lower()
         ids: List[int] = []
+        if self.triggers:
+            # textual-inversion triggers match whole whitespace words (with
+            # trailing punctuation tolerated) BEFORE the BPE word pattern —
+            # names like "style2" or "my-style" would otherwise be split
+            # into sub-words and never fire
+            for chunk in text.split(" "):
+                stripped = chunk.rstrip(",.;:!?")
+                if stripped in self.triggers:
+                    ids.extend(self.triggers[stripped])
+                    chunk = chunk[len(stripped):]  # tokenize the punctuation
+                    if not chunk:
+                        continue
+                ids.extend(self._bpe_ids(chunk))
+            return ids
+        return self._bpe_ids(text)
+
+    def _bpe_ids(self, text: str) -> List[int]:
+        ids: List[int] = []
         for tok in _WORD_PATTERN.findall(text):
-            if tok in self.triggers:  # textual-inversion trigger word
-                ids.extend(self.triggers[tok])
-                continue
             btok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
             for piece in self._bpe(btok):
                 pid = self.encoder.get(piece)

@@ -66,6 +66,15 @@ def test_tokenizer_trigger_expansion():
     # padded encode keeps BOS/EOS framing
     row = tok("mystyle")[0]
     assert row[0] == tok.bos_id and 900 in row and 901 in row
+    # digit/hyphen trigger names and trailing punctuation still fire
+    tok.add_trigger("style2", [910])
+    tok.add_trigger("my-style", [911])
+    assert 910 in tok.tokenize("a style2 cat")
+    assert 911 in tok.tokenize("my-style cat")
+    assert 910 in tok.tokenize("a cat, style2, photo")
+    # no trigger: identical to plain BPE
+    tok2 = make_test_tokenizer(["cat"])
+    assert tok.tokenize("a plain cat") == tok2.tokenize("a plain cat")
 
 
 def test_apply_embeddings_end_to_end(tmp_path):
@@ -123,3 +132,83 @@ def test_factory_applies_mode_embeddings(tmp_path):
         prompt="a glow cat", size="32x32", num_inference_steps=1, seed=4,
     ))
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_pooled_output_ignores_trigger_ids(tmp_path):
+    """CLIP pooling finds EOS by id equality, not argmax — TI ids beyond the
+    base vocab must not steal the pooled position (SDXL/refiner
+    micro-conditioning corruption otherwise)."""
+    from dreamlab_tpu.models import clip_text
+    from dreamlab_tpu.models.configs import CLIPTextConfig
+
+    tok = make_test_tokenizer(["cat"])
+    vocab = len(tok.encoder)
+    cfg = CLIPTextConfig(
+        vocab_size=vocab, hidden_size=32, num_layers=1, num_heads=2,
+        intermediate_size=64,
+    )
+    params = clip_text.init_params(cfg, np.random.RandomState(0))
+    # extend the table with 2 TI rows; ids beyond vocab-1 (the EOS id)
+    table = params["token_embedding"]["w"]
+    params["token_embedding"]["w"] = np.concatenate(
+        [table, np.random.RandomState(1).randn(2, 32).astype(table.dtype)]
+    )
+    tok.add_trigger("vivid", [vocab, vocab + 1])
+
+    ids_plain = tok("a cat")
+    ids_ti = tok("a cat vivid")
+    _, pooled_plain = clip_text.encode_text(
+        params, jnp.asarray(ids_plain), cfg
+    )
+    _, pooled_ti = clip_text.encode_text(params, jnp.asarray(ids_ti), cfg)
+    # pooled must come from the EOS position in both cases; with argmax
+    # pooling the TI row (id vocab+1 > eos) would have been selected.
+    eos_pos_ti = list(ids_ti[0]).index(tok.eos_id)
+    assert eos_pos_ti > 0
+    assert np.all(np.isfinite(np.asarray(pooled_ti)))
+    # sanity: the pooled vector changes with the prompt (EOS state differs)
+    assert not np.allclose(np.asarray(pooled_plain), np.asarray(pooled_ti))
+
+
+def test_dual_ti_applies_to_refiner_single_tower(tmp_path):
+    """A standard SDXL dual TI file routes by tower WIDTH: on a refiner
+    bundle (single bigG tower) the clip_g half applies and clip_l drops."""
+    from safetensors.numpy import save_file
+
+    from dreamlab_tpu.engine.mode_config import EmbeddingConfig
+    from tests.test_refiner import _tiny_refiner_bundle
+
+    bundle = _tiny_refiner_bundle()
+    hidden = bundle.text_params["token_embedding"]["w"].shape[1]
+    base_vocab = bundle.text_params["token_embedding"]["w"].shape[0]
+    rs = np.random.RandomState(3)
+    save_file({
+        "clip_l": rs.randn(2, hidden + 1).astype(np.float32),  # wrong width
+        "clip_g": rs.randn(2, hidden).astype(np.float32),      # matches
+    }, str(tmp_path / "xlstyle.safetensors"))
+
+    n = apply_embeddings(bundle, [
+        EmbeddingConfig(file=str(tmp_path / "xlstyle.safetensors")),
+    ])
+    assert n == 1
+    assert bundle.text_params["token_embedding"]["w"].shape[0] == base_vocab + 2
+    assert "xlstyle" in bundle.tokenizer.triggers
+
+
+def test_partial_failure_leaves_no_orphan_rows(tmp_path):
+    """If no slot matches any tower, nothing is mutated."""
+    from safetensors.numpy import save_file
+
+    from dreamlab_tpu.engine.mode_config import EmbeddingConfig
+    from dreamlab_tpu.testing import random_bundle
+
+    bundle = random_bundle("sd15", tiny=True)
+    base_vocab = bundle.text_params["token_embedding"]["w"].shape[0]
+    save_file({"emb_params": np.random.RandomState(4).randn(2, 9999)
+               .astype(np.float32)}, str(tmp_path / "bad.safetensors"))
+    n = apply_embeddings(bundle, [
+        EmbeddingConfig(file=str(tmp_path / "bad.safetensors")),
+    ])
+    assert n == 0
+    assert bundle.text_params["token_embedding"]["w"].shape[0] == base_vocab
+    assert not bundle.tokenizer.triggers
