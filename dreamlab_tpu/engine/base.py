@@ -15,7 +15,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import re
-from typing import Optional, Protocol, Tuple
+from typing import Callable, Optional, Protocol, Tuple
 
 
 _SIZE_RE = re.compile(r"^(\d+)\s*[xX]\s*(\d+)$")
@@ -43,6 +43,11 @@ class GenSpec:
     style_level: int = 0
     original_inference_steps: Optional[int] = None
     aesthetic_score: float = 6.0  # refiner micro-conditioning (n_ids == 5)
+    # per-step progress hook: called (step, timestep) from the device
+    # callback thread; excluded from equality so specs stay comparable
+    progress_cb: Optional[Callable[[int, int], None]] = dataclasses.field(
+        default=None, compare=False, repr=False
+    )
 
     def dims(self) -> Tuple[int, int]:
         return parse_size(self.size)

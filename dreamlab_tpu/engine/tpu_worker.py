@@ -154,6 +154,13 @@ class TPUPipelineWorker:
         seed = spec.seed
         if seed is None:
             seed = int(np.random.randint(0, 2**31 - 1))
+        cb_kw = {}
+        if spec.progress_cb is not None:
+            pcb = spec.progress_cb
+            cb_kw = dict(
+                callback=lambda i, t, lat: pcb(i, t),
+                callback_latents=False,
+            )
         with self._lock:
             self._apply_style(spec.style, spec.style_level)
             try:
@@ -168,6 +175,7 @@ class TPUPipelineWorker:
                     seed=seed,
                     pipelined=pipelined,
                     aesthetic_score=spec.aesthetic_score,
+                    **cb_kw,
                 )
             finally:
                 self._apply_style(None, 0)
@@ -259,6 +267,10 @@ class TPUPipelineWorker:
             and a.guidance_scale == b.guidance_scale
             and (a.negative_prompt or "") == (b.negative_prompt or "")
             and (a.style, a.style_level) == (b.style, b.style_level)
+            # progress jobs run solo: the per-request hook must see only
+            # its own steps, not a coalesced batch's
+            and a.progress_cb is None
+            and b.progress_cb is None
         )
 
     def run_jobs(self, specs) -> list:

@@ -24,11 +24,13 @@ Key idiomatic choices:
 from __future__ import annotations
 
 import dataclasses
+import itertools
 import logging
 import os
+import threading
 import time
 from functools import partial
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -150,6 +152,12 @@ class LCMPipeline:
         )
         self._compiled: Dict[Tuple, Any] = {}
         self._schedules: Dict[Tuple[int, Optional[int]], LCMSchedule] = {}
+        # per-step progress callbacks: the traced program carries only an
+        # int32 token; the host-side registry maps it to the live callable,
+        # so one compiled progress bucket serves every callback
+        self._progress_registry: Dict[int, Tuple[Callable, int]] = {}
+        self._progress_tokens = itertools.count(1)
+        self._progress_lock = threading.Lock()
         self.vae_scale = bundle.vae_cfg.scale_factor
         self.latent_channels = bundle.vae_cfg.latent_channels
 
@@ -219,11 +227,38 @@ class LCMPipeline:
         return np.ascontiguousarray(lat), np.ascontiguousarray(noises)
 
     # ------------------------------------------------------------------
+    # per-step progress (reference callback contract, rknnlcm.py:464-604)
+    # ------------------------------------------------------------------
+
+    def _progress_emit(self, token, step, timestep, latents=None):
+        """Host-side trampoline invoked by jax.debug.callback from inside the
+        denoise scan. Looks the live callback up by token so the compiled
+        program is callback-agnostic. Mirrors the reference's
+        ``callback(step, timestep, latents)`` with latents in NCHW
+        (rknnlcm.py:601-604); filtering by callback_steps happens here
+        (``i % callback_steps == 0``, same rule)."""
+        with self._progress_lock:
+            entry = self._progress_registry.get(int(token))
+        if entry is None:
+            return
+        cb, every = entry
+        step = int(step)
+        if step % every != 0:
+            return
+        try:
+            lat = None
+            if latents is not None:
+                lat = np.asarray(latents).transpose(0, 3, 1, 2)
+            cb(step, int(timestep), lat)
+        except Exception:  # a broken callback must never kill the device loop
+            logger.exception("progress callback failed at step %d", step)
+
+    # ------------------------------------------------------------------
     # traced program
     # ------------------------------------------------------------------
 
     def _build(self, batch: int, h_lat: int, w_lat: int, steps: int, cfg_mode: str,
-               rng_mode: str, task: str = "txt2img"):
+               rng_mode: str, task: str = "txt2img", progress: str = "none"):
         """Trace + jit the full txt2img program for one shape bucket.
 
         cfg_mode: 'wcond' (LCM guidance embedding) or 'cfg' (classifier-free
@@ -258,7 +293,7 @@ class LCMPipeline:
         def denoise_decode(
             unet_params, vae_params, ctx, pooled, ctx_neg, pooled_neg,
             latents0, noises, schedule: LCMSchedule, w_emb, guidance, time_ids,
-            inpaint=None,
+            inpaint=None, progress_token=None,
         ):
             """inpaint: optional (known_x0, mask_lat, noises_known) — legacy
             inpainting blends the known region back at each step, renoised
@@ -310,6 +345,18 @@ class LCMPipeline:
                         + schedule.sqrt_beta_prod_prev[i] * noises_known[i]
                     )
                     lat = mask * lat + (1.0 - mask) * known_next
+                if progress == "latents":
+                    jax.debug.callback(
+                        self._progress_emit, progress_token, i,
+                        schedule.timesteps[i], lat, ordered=False,
+                    )
+                elif progress == "steps":
+                    # progress-only: no per-step latent d2h baked into the
+                    # program — streaming progress stays ~free
+                    jax.debug.callback(
+                        self._progress_emit, progress_token, i,
+                        schedule.timesteps[i], ordered=False,
+                    )
                 return (i + 1, lat), denoised
 
             (_, _), denoised_seq = jax.lax.scan(
@@ -397,6 +444,7 @@ class LCMPipeline:
             text_params, text_params_2, unet_params, vae_params,
             ids, ids_neg, ids_2, ids_2_neg,
             latents0, noises, schedule: LCMSchedule, w_emb, guidance, time_ids,
+            progress_token=None,
         ):
             if rng_mode == "device":
                 # latents0 is the scalar seed; noises the init sigma
@@ -417,17 +465,18 @@ class LCMPipeline:
             return denoise_decode(
                 unet_params, vae_params, ctx, pooled, ctx_neg, pooled_neg,
                 latents0, noises, schedule, w_emb, guidance, time_ids,
+                progress_token=progress_token,
             )
 
         donate = (8,) if rng_mode == "host" else ()
         return jax.jit(program, donate_argnums=donate)
 
     def _get_compiled(self, batch, h_lat, w_lat, steps, cfg_mode,
-                      rng_mode="host", task="txt2img"):
-        key = (batch, h_lat, w_lat, steps, cfg_mode, rng_mode, task)
+                      rng_mode="host", task="txt2img", progress="none"):
+        key = (batch, h_lat, w_lat, steps, cfg_mode, rng_mode, task, progress)
         if key not in self._compiled:
             self._compiled[key] = self._build(
-                batch, h_lat, w_lat, steps, cfg_mode, rng_mode, task
+                batch, h_lat, w_lat, steps, cfg_mode, rng_mode, task, progress
             )
         return self._compiled[key]
 
@@ -463,6 +512,9 @@ class LCMPipeline:
         rng: Optional[str] = None,
         pipelined: bool = False,
         aesthetic_score: float = 6.0,
+        callback: Optional[Callable] = None,
+        callback_steps: int = 1,
+        callback_latents: bool = True,
     ) -> GenerationResult:
         """Generate images. Returns uint8 [B, H, W, 3] + final latents.
 
@@ -470,6 +522,15 @@ class LCMPipeline:
         (time_cond_proj_dim set) guidance conditions via the w-embedding and
         CFG is disabled (rknnlcm.py:526-528); otherwise classic CFG applies
         when guidance_scale > 1.
+
+        callback/callback_steps mirror the reference pipeline's per-step
+        hook (rknnlcm.py:464-604): ``callback(step, timestep, latents)``
+        fires every ``callback_steps`` steps from inside the denoise scan
+        (via jax.debug.callback — the scan itself stays one XLA program).
+        ``callback_latents=False`` omits the per-step latent device→host
+        transfer and passes ``latents=None`` — the cheap form streaming
+        progress endpoints use. Progress requests compile their own bucket,
+        so callback-free serving traffic never pays for the hook.
         """
         # latents must survive every UNet downsample without odd dims
         divisor = self.vae_scale * 2 ** (self.bundle.unet_cfg.num_blocks - 1)
@@ -574,22 +635,42 @@ class LCMPipeline:
             noises = ds(noises, 1)
             schedule = jax.device_put(schedule, rep)
 
+        progress_mode = "none"
+        token = 0
+        if callback is not None:
+            progress_mode = "latents" if callback_latents else "steps"
+            pipelined = False  # callbacks imply synchronous completion
+            token = next(self._progress_tokens)
+            with self._progress_lock:
+                self._progress_registry[token] = (callback, max(1, callback_steps))
+
         fn = self._get_compiled(
-            bsz, h_lat, w_lat, num_inference_steps, cfg_mode, rng_mode
+            bsz, h_lat, w_lat, num_inference_steps, cfg_mode, rng_mode,
+            progress=progress_mode,
         )
-        img_u8, denoised = fn(
-            self.text_params, self.text_params_2, self.unet_params,
-            self.vae_params,
-            ids, ids_neg, ids_2, ids_2_neg,
-            lat0, noises, schedule, w_emb,
-            jnp.float32(guidance_scale), time_ids,
-        )
-        # pipelined: return the in-flight device arrays — the caller overlaps
-        # the next request's dispatch/compute with this one's d2h (wait())
-        images = (
-            img_u8 if pipelined
-            else np.asarray(jax.block_until_ready(img_u8))
-        )
+        try:
+            args = [
+                self.text_params, self.text_params_2, self.unet_params,
+                self.vae_params,
+                ids, ids_neg, ids_2, ids_2_neg,
+                lat0, noises, schedule, w_emb,
+                jnp.float32(guidance_scale), time_ids,
+            ]
+            if progress_mode != "none":
+                args.append(jnp.int32(token))
+            img_u8, denoised = fn(*args)
+            # pipelined: return the in-flight device arrays — the caller
+            # overlaps the next request's dispatch/compute with this one's
+            # d2h (wait())
+            images = (
+                img_u8 if pipelined
+                else np.asarray(jax.block_until_ready(img_u8))
+            )
+        finally:
+            if progress_mode != "none":
+                jax.effects_barrier()  # flush pending debug callbacks
+                with self._progress_lock:
+                    self._progress_registry.pop(token, None)
         t_done = time.time()
 
         return GenerationResult(

@@ -19,6 +19,7 @@ contract-identical.
 from __future__ import annotations
 
 import asyncio
+import base64
 import json
 import logging
 import os
@@ -213,7 +214,8 @@ def _apply_mode_defaults(req: GenerateRequest, mode) -> None:
         req.guidance_scale = float(mode.default_guidance())
 
 
-async def run_generate(state: ServerState, req: GenerateRequest):
+async def run_generate(state: ServerState, req: GenerateRequest,
+                       progress_cb=None):
     """Shared generation flow → (image_bytes, headers dict)."""
     cfg = state.config
 
@@ -238,6 +240,8 @@ async def run_generate(state: ServerState, req: GenerateRequest):
             _apply_mode_defaults(req, state.mode_config.get_mode(current))
 
     spec = _spec_from_request(req, state)
+    if progress_cb is not None:
+        spec.progress_cb = progress_cb
 
     if state.pool is not None:
         fut = state.pool.submit_job(GenerationJob(spec))
@@ -298,6 +302,75 @@ async def generate_handler(request: web.Request) -> web.Response:
     req = GenerateRequest.model_validate(await request.json())
     data, media_type, headers = await run_generate(state, req)
     return web.Response(body=data, content_type=media_type, headers=headers)
+
+
+def _sse(event: str, payload: dict) -> bytes:
+    return f"event: {event}\ndata: {json.dumps(payload)}\n\n".encode()
+
+
+async def generate_stream_handler(request: web.Request) -> web.StreamResponse:
+    """Server-sent-events generation: per-step ``progress`` events from
+    inside the denoise scan (the cheap no-latents hook — no extra d2h),
+    then one ``result`` event with the base64 image + the same metadata
+    /generate returns in headers. Same request schema as /generate."""
+    state: ServerState = request.app[STATE_KEY]
+    req = GenerateRequest.model_validate(await request.json())
+    total = req.num_inference_steps
+
+    resp = web.StreamResponse(headers={
+        "Content-Type": "text/event-stream",
+        "Cache-Control": "no-cache",
+        "Access-Control-Allow-Origin": "*",
+    })
+    await resp.prepare(request)
+
+    loop = asyncio.get_running_loop()
+    q: asyncio.Queue = asyncio.Queue()
+
+    def on_step(step: int, timestep: int) -> None:
+        # fires on the device-callback thread; marshal into the event loop
+        loop.call_soon_threadsafe(
+            q.put_nowait, ("progress", {
+                "step": step, "timestep": timestep, "total_steps": total,
+            })
+        )
+
+    gen = asyncio.ensure_future(run_generate(state, req, progress_cb=on_step))
+    try:
+        while True:
+            get = asyncio.ensure_future(q.get())
+            done, _ = await asyncio.wait(
+                {gen, get}, return_when=asyncio.FIRST_COMPLETED
+            )
+            if get in done:
+                event, payload = get.result()
+                await resp.write(_sse(event, payload))
+                continue
+            get.cancel()
+            break
+        # flush any progress events that raced with completion
+        while not q.empty():
+            event, payload = q.get_nowait()
+            await resp.write(_sse(event, payload))
+        data, media_type, headers = await gen
+        await resp.write(_sse("result", {
+            "image_b64": base64.b64encode(data).decode(),
+            "media_type": media_type,
+            "seed": int(headers["X-Seed"]),
+            "mode": headers.get("X-Mode"),
+            "image_key": headers.get("X-LCM-Image-Key"),
+        }))
+    except (asyncio.CancelledError, ConnectionResetError):
+        gen.cancel()
+        raise
+    except web.HTTPException as e:
+        await resp.write(_sse("error", {
+            "status": e.status, "detail": e.text or e.reason,
+        }))
+    except Exception as e:  # surface in-stream; status line already sent
+        await resp.write(_sse("error", {"status": 500, "detail": str(e)}))
+    await resp.write_eof()
+    return resp
 
 
 async def superres_handler(request: web.Request) -> web.Response:
@@ -635,6 +708,7 @@ def create_app(
     app[STATE_KEY] = state
 
     app.router.add_post("/generate", generate_handler)
+    app.router.add_post("/generate/stream", generate_stream_handler)
     app.router.add_post("/superres", superres_handler)
     app.router.add_post("/v1/superres", superres_handler)
     app.router.add_post("/v1/img2img", img2img_handler)

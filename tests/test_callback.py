@@ -1,0 +1,81 @@
+"""Per-step callback parity with the reference pipeline's hook
+(/root/reference/backends/rknnlcm.py:464-604): callback(step, timestep,
+latents) fires every callback_steps steps during the denoise loop."""
+
+import numpy as np
+import pytest
+
+from dreamlab_tpu.pipeline import LCMPipeline
+from dreamlab_tpu.testing import random_bundle
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return LCMPipeline(random_bundle("sd15", tiny=True))
+
+
+def test_callback_fires_every_step(pipe):
+    calls = []
+    res = pipe.generate(
+        "cb", height=128, width=128, num_inference_steps=4, seed=7,
+        callback=lambda i, t, lat: calls.append((i, t, lat)),
+    )
+    assert [c[0] for c in calls] == [0, 1, 2, 3]
+    sched = pipe._schedule(4, None)
+    assert [c[1] for c in calls] == [int(t) for t in sched.timesteps]
+    # latents arrive NCHW like the reference's (rknnlcm.py:601-604)
+    h_lat = 128 // pipe.vae_scale
+    for _, _, lat in calls:
+        assert lat.shape == (1, pipe.latent_channels, h_lat, h_lat)
+    assert res.images.shape == (1, 128, 128, 3)
+
+
+def test_callback_steps_filters(pipe):
+    calls = []
+    pipe.generate(
+        "cb", height=128, width=128, num_inference_steps=4, seed=7,
+        callback=lambda i, t, lat: calls.append(i), callback_steps=2,
+    )
+    # reference rule: i % callback_steps == 0 (rknnlcm.py:603)
+    assert calls == [0, 2]
+
+
+def test_callback_does_not_change_output(pipe):
+    base = pipe.generate(
+        "determinism", height=128, width=128, num_inference_steps=4, seed=11
+    )
+    withcb = pipe.generate(
+        "determinism", height=128, width=128, num_inference_steps=4, seed=11,
+        callback=lambda i, t, lat: None,
+    )
+    np.testing.assert_array_equal(base.images, withcb.images)
+
+
+def test_callback_without_latents(pipe):
+    calls = []
+    pipe.generate(
+        "cheap", height=128, width=128, num_inference_steps=4, seed=3,
+        callback=lambda i, t, lat: calls.append((i, lat)),
+        callback_latents=False,
+    )
+    assert [i for i, _ in calls] == [0, 1, 2, 3]
+    assert all(lat is None for _, lat in calls)
+
+
+def test_broken_callback_does_not_break_generation(pipe):
+    def boom(i, t, lat):
+        raise RuntimeError("user callback bug")
+
+    res = pipe.generate(
+        "robust", height=128, width=128, num_inference_steps=4, seed=5,
+        callback=boom,
+    )
+    assert res.images.shape == (1, 128, 128, 3)
+
+
+def test_registry_cleaned_up(pipe):
+    pipe.generate(
+        "cleanup", height=128, width=128, num_inference_steps=4, seed=1,
+        callback=lambda i, t, lat: None,
+    )
+    assert pipe._progress_registry == {}

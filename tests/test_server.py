@@ -108,6 +108,49 @@ def test_generate_validation_error(client):
     assert resp.status == 422
 
 
+def _parse_sse(body: bytes):
+    events = []
+    for block in body.decode().strip().split("\n\n"):
+        event = data = None
+        for line in block.splitlines():
+            if line.startswith("event: "):
+                event = line[7:]
+            elif line.startswith("data: "):
+                data = json.loads(line[6:])
+        events.append((event, data))
+    return events
+
+
+def test_generate_stream_sse(client):
+    # the SSE route produces per-step progress then the same image bytes
+    # /generate returns for the identical request
+    resp, ref_png = client("POST", "/generate", json=GEN)
+    assert resp.status == 200
+    resp, body = client("POST", "/generate/stream", json=GEN)
+    assert resp.status == 200
+    assert resp.headers["Content-Type"].startswith("text/event-stream")
+    events = _parse_sse(body)
+    progress = [d for e, d in events if e == "progress"]
+    assert [p["step"] for p in progress] == [0, 1]
+    assert all(p["total_steps"] == 2 for p in progress)
+    assert all(isinstance(p["timestep"], int) for p in progress)
+    results = [d for e, d in events if e == "result"]
+    assert len(results) == 1
+    r = results[0]
+    assert r["seed"] == 7 and r["mode"] == "alpha"
+    assert base64.b64decode(r["image_b64"]) == ref_png
+    assert r["image_key"].startswith("lcm:")
+
+
+def test_generate_stream_error_in_stream(client):
+    resp, body = client("POST", "/generate/stream", json={**GEN, "mode": "nope"})
+    # status line is already committed when validation-after-prepare fails;
+    # the error arrives as an SSE event
+    events = _parse_sse(body)
+    errs = [d for e, d in events if e == "error"]
+    assert len(errs) == 1 and errs[0]["status"] == 404
+
+
 def test_generate_unknown_mode_404(client):
     resp, body = client("POST", "/generate", json={**GEN, "mode": "nope"})
     assert resp.status == 404

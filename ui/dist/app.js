@@ -331,6 +331,46 @@ function imageCard(blobUrl, meta) {
   return card;
 }
 
+// SSE generation: per-step progress events + base64 result (POST, so
+// EventSource doesn't apply — parse the stream by hand)
+async function generateViaStream(body, onStep) {
+  const resp = await api("/generate/stream", {
+    method: "POST",
+    headers: { "Content-Type": "application/json" },
+    body: JSON.stringify(body),
+  });
+  if (!resp.ok || !resp.body) throw new Error(`${resp.status}`);
+  const reader = resp.body.getReader();
+  const dec = new TextDecoder();
+  let buf = "";
+  let result = null;
+  for (;;) {
+    const { done, value } = await reader.read();
+    if (done) break;
+    buf += dec.decode(value, { stream: true });
+    let idx;
+    while ((idx = buf.indexOf("\n\n")) >= 0) {
+      const block = buf.slice(0, idx);
+      buf = buf.slice(idx + 2);
+      let ev = null, data = null;
+      for (const line of block.split("\n")) {
+        if (line.startsWith("event: ")) ev = line.slice(7);
+        else if (line.startsWith("data: ")) data = JSON.parse(line.slice(6));
+      }
+      if (ev === "progress" && onStep) onStep(data);
+      else if (ev === "result") result = data;
+      else if (ev === "error") throw new Error(`${data.status}: ${data.detail}`);
+    }
+  }
+  if (!result) throw new Error("stream ended without result");
+  const bytes = Uint8Array.from(atob(result.image_b64), (c) => c.charCodeAt(0));
+  return {
+    blob: new Blob([bytes], { type: result.media_type || "image/png" }),
+    seed: result.seed,
+    image_key: result.image_key,
+  };
+}
+
 let generating = false;
 async function generate(overrides) {
   if (generating) return;
@@ -376,21 +416,32 @@ async function generate(overrides) {
         return hit.blob;
       }
     }
-    const resp = await api("/generate", {
-      method: "POST",
-      headers: { "Content-Type": "application/json" },
-      body: JSON.stringify(body),
-    });
-    if (!resp.ok) {
-      const err = await resp.text();
-      throw new Error(`${resp.status}: ${err.slice(0, 200)}`);
+    let blob, seedOut, keyOut;
+    try {
+      // live per-step progress over SSE (falls back to /generate below)
+      const r = await generateViaStream(body, (p) => {
+        pending.textContent = `dreaming… step ${p.step + 1}/${p.total_steps}`;
+      });
+      blob = r.blob; seedOut = String(r.seed); keyOut = r.image_key;
+    } catch (streamErr) {
+      const resp = await api("/generate", {
+        method: "POST",
+        headers: { "Content-Type": "application/json" },
+        body: JSON.stringify(body),
+      });
+      if (!resp.ok) {
+        const err = await resp.text();
+        throw new Error(`${resp.status}: ${err.slice(0, 200)}`);
+      }
+      blob = await resp.blob();
+      seedOut = resp.headers.get("X-Seed");
+      keyOut = resp.headers.get("X-LCM-Image-Key");
     }
-    const blob = await resp.blob();
     const meta = {
       prompt,
-      seed: resp.headers.get("X-Seed"),
+      seed: seedOut,
       size: body.size,
-      key: resp.headers.get("X-LCM-Image-Key"),
+      key: keyOut,
       ms: Math.round(performance.now() - t0),
     };
     pending.replaceChildren(imageCard(URL.createObjectURL(blob), meta));
