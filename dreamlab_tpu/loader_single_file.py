@@ -283,12 +283,17 @@ def _translate_text_openclip(
 
 
 def _derive_unet_cfg_sdxl(
-    t: Dict[str, np.ndarray], cad: int, text2_hidden: Optional[int]
+    t: Dict[str, np.ndarray], cad: int, pooled_dim: Optional[int]
 ) -> UNetConfig:
     """Infer the UNet topology from the LDM tensors themselves (block
     widths, resnet/transformer counts, micro-conditioning dims), mirroring
     diffusers from_single_file's config inference. Head counts are not
-    stored in checkpoints; SDXL's 64-dim-head rule applies."""
+    stored in checkpoints; SDXL's 64-dim-head rule applies.
+
+    pooled_dim: the pooled text-embedding width feeding label_emb. The
+    micro-conditioning id count isn't stored either — base models use 6
+    ids, refiners 5 (aesthetic score instead of target size); divisibility
+    of (pcei - pooled_dim) disambiguates."""
     pre = "model.diffusion_model."
     chan0 = t[pre + "input_blocks.0.0.weight"].shape[0]
     temb = t[pre + "time_embed.0.weight"].shape[0]
@@ -337,8 +342,11 @@ def _derive_unet_cfg_sdxl(
     if label_key in t:
         addition = "text_time"
         pcei = t[label_key].shape[1]
-        if text2_hidden:
-            add_dim = (pcei - text2_hidden) // 6
+        if pooled_dim:
+            for n_ids in (6, 5):
+                if (pcei - pooled_dim) % n_ids == 0:
+                    add_dim = (pcei - pooled_dim) // n_ids
+                    break
 
     return UNetConfig(
         in_channels=t[pre + "input_blocks.0.0.weight"].shape[1],
@@ -385,31 +393,8 @@ def _derive_text_cfg(
     )
 
 
-def _load_single_file_sdxl(path: str, tensors, cad: int) -> PipelineBundle:
-    """SDXL single file: dual text towers (ViT-L + OpenCLIP bigG with packed
-    q/k/v), micro-conditioning UNet, 0.13025-scaled VAE.
-
-    The reference delegates this to diffusers StableDiffusionXLPipeline
-    .from_single_file (cuda_worker.py:332-459)."""
-    text1_t = _translate_text(tensors)
-    if not text1_t:
-        raise ValueError(
-            f"{path}: no first text tower (conditioner.embedders.0) — "
-            "SDXL-refiner single files are not servable here yet"
-        )
-    text2_t = _translate_text_openclip(tensors)
-    if not text2_t:
-        raise ValueError(
-            f"{path}: no second text tower (conditioner.embedders.1.model)"
-        )
-    text_cfg = _derive_text_cfg(text1_t, act="quick_gelu", penultimate=True)
-    text_cfg_2 = _derive_text_cfg(text2_t, act="gelu", penultimate=True)
-    text2_hidden = text_cfg_2.hidden_size
-
-    unet_cfg = _derive_unet_cfg_sdxl(tensors, cad, text2_hidden)
-    unet_params = convert_unet(_translate_unet(tensors, unet_cfg), unet_cfg)
-
-    # VAE topology from tensor names; SDXL scaling factor
+def _derive_vae_sdxl(tensors):
+    """VAE topology from tensor names; SDXL scaling factor."""
     n_up = 1 + max(
         int(m.group(1))
         for k in tensors
@@ -443,6 +428,71 @@ def _load_single_file_sdxl(path: str, tensors, cad: int) -> PipelineBundle:
         if any(k.startswith("encoder.") for k in vae_t)
         else None
     )
+    return vae_cfg, vae_params, vae_encoder_params
+
+
+def _load_single_file_sdxl_refiner(path: str, tensors, cad: int) -> PipelineBundle:
+    """SDXL-refiner single file: ONE OpenCLIP bigG tower at
+    ``conditioner.embedders.0.model`` (no ViT-L), 5 micro-conditioning ids
+    (aesthetic score). Mirrors the diffusers-dir refiner layout this loader
+    already serves (loader.py is_refiner path); the reference only ever
+    *detects* refiners (model_detector.py) without serving them."""
+    big_t = _translate_text_openclip(
+        tensors, prefix="conditioner.embedders.0.model."
+    )
+    if not big_t:
+        raise ValueError(
+            f"{path}: no text tower (conditioner.embedders.0) found"
+        )
+    text_cfg = _derive_text_cfg(big_t, act="gelu", penultimate=True)
+    pooled_dim = text_cfg.projection_dim or text_cfg.hidden_size
+    unet_cfg = _derive_unet_cfg_sdxl(tensors, cad, pooled_dim)
+    unet_params = convert_unet(_translate_unet(tensors, unet_cfg), unet_cfg)
+    vae_cfg, vae_params, vae_encoder_params = _derive_vae_sdxl(tensors)
+
+    # the bigG tower's tokenizer pads with "!" (id 0), not EOS
+    tok_dir = _find_tokenizer_dir(path, "tokenizer_2")
+    if tok_dir is None:
+        tok_dir = _find_tokenizer_dir(path)
+    tokenizer = CLIPTokenizer.from_pretrained(tok_dir, pad_token="!")
+
+    return PipelineBundle(
+        arch="sdxl",
+        model_dir=path,
+        tokenizer=tokenizer,
+        text_cfg=text_cfg,
+        text_params=convert_clip_text(big_t, text_cfg),
+        unet_cfg=unet_cfg,
+        unet_params=unet_params,
+        vae_cfg=vae_cfg,
+        vae_params=vae_params,
+        scheduler_cfg=_load_sidecar_scheduler(path),
+        vae_encoder_params=vae_encoder_params,
+    )
+
+
+def _load_single_file_sdxl(path: str, tensors, cad: int) -> PipelineBundle:
+    """SDXL single file: dual text towers (ViT-L + OpenCLIP bigG with packed
+    q/k/v), micro-conditioning UNet, 0.13025-scaled VAE.
+
+    The reference delegates this to diffusers StableDiffusionXLPipeline
+    .from_single_file (cuda_worker.py:332-459)."""
+    text1_t = _translate_text(tensors)
+    if not text1_t:
+        # refiner checkpoints keep their single bigG tower at embedders.0
+        return _load_single_file_sdxl_refiner(path, tensors, cad)
+    text2_t = _translate_text_openclip(tensors)
+    if not text2_t:
+        raise ValueError(
+            f"{path}: no second text tower (conditioner.embedders.1.model)"
+        )
+    text_cfg = _derive_text_cfg(text1_t, act="quick_gelu", penultimate=True)
+    text_cfg_2 = _derive_text_cfg(text2_t, act="gelu", penultimate=True)
+    text2_hidden = text_cfg_2.hidden_size
+
+    unet_cfg = _derive_unet_cfg_sdxl(tensors, cad, text2_hidden)
+    unet_params = convert_unet(_translate_unet(tensors, unet_cfg), unet_cfg)
+    vae_cfg, vae_params, vae_encoder_params = _derive_vae_sdxl(tensors)
 
     tokenizer = CLIPTokenizer.from_pretrained(_find_tokenizer_dir(path))
     tok2_dir = _find_tokenizer_dir(path, "tokenizer_2")

@@ -260,6 +260,97 @@ def test_sdxl_single_file_loads_and_generates(tmp_path):
     assert res.images.shape == (1, 16, 16, 3)
 
 
+TINY_REF_UNET = configs.UNetConfig(
+    block_out_channels=(64, 128),
+    layers_per_block=1,
+    transformer_layers_per_block=(0, 2),
+    num_attention_heads=(1, 2),
+    cross_attention_dim=1280,
+    norm_groups=32,
+    time_cond_proj_dim=None,
+    addition_embed_type="text_time",
+    addition_time_embed_dim=8,
+    # refiner: pooled (640) + 5 micro-conditioning ids, not 6
+    projection_class_embeddings_input_dim=640 + 5 * 8,
+    mid_block_transformer_layers=2,
+)
+
+# refiner: the single bigG tower's sequence IS the 1280-wide context
+TINY_REF_TEXT_G = configs.CLIPTextConfig(
+    hidden_size=1280, num_layers=2, num_heads=20, intermediate_size=128,
+    hidden_act="gelu", penultimate=True, projection_dim=640,
+)
+
+
+def make_tiny_refiner_single_file(tmp_path):
+    from safetensors.numpy import save_file
+
+    rs = np.random.RandomState(4)
+    tensors = {}
+
+    uparams = unet.init_params(TINY_REF_UNET, rs)
+    tensors.update(export_unet_ldm(uparams, TINY_REF_UNET))
+    _put_linear(tensors, "model.diffusion_model.label_emb.0.0",
+                uparams["add_embedding"]["linear_1"])
+    _put_linear(tensors, "model.diffusion_model.label_emb.0.2",
+                uparams["add_embedding"]["linear_2"])
+
+    tok = make_test_tokenizer(["cat", "sunset"])
+    tg = clip_text.init_params(
+        configs.CLIPTextConfig(
+            **{**TINY_REF_TEXT_G.__dict__, "vocab_size": len(tok.encoder)}
+        ), rs,
+    )
+    tensors.update(export_openclip(tg, prefix="conditioner.embedders.0.model."))
+
+    vdec = vae.init_decoder_params(TINY_XL_VAE, rs)
+    diff_vae = export_vae_decoder(vdec, TINY_XL_VAE)
+    tensors.update(
+        diffusers_vae_to_ldm(diff_vae, len(TINY_XL_VAE.block_out_channels))
+    )
+
+    path = str(tmp_path / "tiny_refiner.safetensors")
+    save_file({k: np.ascontiguousarray(v) for k, v in tensors.items()}, path)
+
+    tok_dir = tmp_path / "tokenizer"
+    tok_dir.mkdir()
+    (tok_dir / "vocab.json").write_text(json.dumps(tok.encoder))
+    (tok_dir / "merges.txt").write_text("#version: 0.2\n" + "\n".join(
+        " ".join(p) for p in sorted(tok.bpe_ranks, key=tok.bpe_ranks.get)
+    ) + "\n")
+    return path, uparams
+
+
+def test_sdxl_refiner_single_file_loads_and_generates(tmp_path):
+    path, uparams = make_tiny_refiner_single_file(tmp_path)
+    bundle = load_single_file(path)
+    assert bundle.arch == "sdxl"
+    assert bundle.unet_cfg == TINY_REF_UNET
+    # single tower: no tower 2, bigG serves as THE text encoder
+    assert bundle.text_params_2 is None and bundle.text_cfg_2 is None
+    assert bundle.text_cfg.hidden_act == "gelu"
+    assert bundle.text_cfg.projection_dim == 640
+    assert bundle.tokenizer.pad_id == bundle.tokenizer.encoder["!"]
+
+    la = jax.tree_util.tree_leaves(uparams)
+    lb = jax.tree_util.tree_leaves(bundle.unet_params)
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    import jax.numpy as jnp
+
+    from dreamlab_tpu.pipeline import LCMPipeline
+
+    pipe = LCMPipeline(bundle, dtype=jnp.float32)
+    assert pipe._micro_cond_ids() == 5
+    res = pipe.generate(
+        "a cat at sunset", height=16, width=16, num_inference_steps=1,
+        seed=3, guidance_scale=1.0, aesthetic_score=6.5,
+    )
+    assert res.images.shape == (1, 16, 16, 3)
+
+
 def test_detect_sdxl_single_file(tmp_path):
     path, _, _ = make_tiny_sdxl_single_file(tmp_path)
     from dreamlab_tpu.utils.model_detector import detect_model
