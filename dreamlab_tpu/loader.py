@@ -21,6 +21,7 @@ import dataclasses
 import json
 import logging
 import os
+from functools import partial
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -196,50 +197,56 @@ def text_config_from_json(raw: Dict[str, Any], *, penultimate: bool = False) -> 
 # ---------------------------------------------------------------------------
 
 
-def convert_unet(tensors: Dict[str, np.ndarray], cfg: UNetConfig) -> Dict:
-    w = _W(tensors)
+def _unet_attn(w: "_W", key: str) -> Dict:
+    return {
+        "q": w.linear(key + ".to_q"),
+        "k": w.linear(key + ".to_k"),
+        "v": w.linear(key + ".to_v"),
+        "out": w.linear(key + ".to_out.0"),
+    }
 
-    def attn(key: str) -> Dict:
-        return {
-            "q": w.linear(key + ".to_q"),
-            "k": w.linear(key + ".to_k"),
-            "v": w.linear(key + ".to_v"),
-            "out": w.linear(key + ".to_out.0"),
-        }
 
-    def transformer(key: str, n_layers: int) -> Dict:
-        blocks = []
-        for k in range(n_layers):
-            b = f"{key}.transformer_blocks.{k}"
-            blocks.append(
-                {
-                    "ln1": w.norm(b + ".norm1"),
-                    "attn1": attn(b + ".attn1"),
-                    "ln2": w.norm(b + ".norm2"),
-                    "attn2": attn(b + ".attn2"),
-                    "ln3": w.norm(b + ".norm3"),
-                    "ff_geglu": w.linear(b + ".ff.net.0.proj"),
-                    "ff_out": w.linear(b + ".ff.net.2"),
-                }
-            )
-        return {
-            "norm": w.norm(key + ".norm"),
-            "proj_in": w.linear(key + ".proj_in"),
-            "blocks": blocks,
-            "proj_out": w.linear(key + ".proj_out"),
-        }
+def _unet_transformer(w: "_W", key: str, n_layers: int) -> Dict:
+    blocks = []
+    for k in range(n_layers):
+        b = f"{key}.transformer_blocks.{k}"
+        blocks.append(
+            {
+                "ln1": w.norm(b + ".norm1"),
+                "attn1": _unet_attn(w, b + ".attn1"),
+                "ln2": w.norm(b + ".norm2"),
+                "attn2": _unet_attn(w, b + ".attn2"),
+                "ln3": w.norm(b + ".norm3"),
+                "ff_geglu": w.linear(b + ".ff.net.0.proj"),
+                "ff_out": w.linear(b + ".ff.net.2"),
+            }
+        )
+    return {
+        "norm": w.norm(key + ".norm"),
+        "proj_in": w.linear(key + ".proj_in"),
+        "blocks": blocks,
+        "proj_out": w.linear(key + ".proj_out"),
+    }
 
-    def resnet(key: str) -> Dict:
-        p = {
-            "norm1": w.norm(key + ".norm1"),
-            "conv1": w.conv(key + ".conv1"),
-            "time_emb_proj": w.linear(key + ".time_emb_proj"),
-            "norm2": w.norm(key + ".norm2"),
-            "conv2": w.conv(key + ".conv2"),
-        }
-        if w.has(key + ".conv_shortcut.weight"):
-            p["shortcut"] = w.conv(key + ".conv_shortcut")
-        return p
+
+def _unet_resnet(w: "_W", key: str) -> Dict:
+    p = {
+        "norm1": w.norm(key + ".norm1"),
+        "conv1": w.conv(key + ".conv1"),
+        "time_emb_proj": w.linear(key + ".time_emb_proj"),
+        "norm2": w.norm(key + ".norm2"),
+        "conv2": w.conv(key + ".conv2"),
+    }
+    if w.has(key + ".conv_shortcut.weight"):
+        p["shortcut"] = w.conv(key + ".conv_shortcut")
+    return p
+
+
+def _convert_unet_trunk(w: "_W", cfg: UNetConfig) -> Dict:
+    """conv_in + time/add embeddings + down + mid — the part a diffusers
+    UNet2DConditionModel and a ControlNetModel share key-for-key."""
+    transformer = partial(_unet_transformer, w)
+    resnet = partial(_unet_resnet, w)
 
     params: Dict[str, Any] = {
         "conv_in": w.conv("conv_in"),
@@ -282,6 +289,14 @@ def convert_unet(tensors: Dict[str, np.ndarray], cfg: UNetConfig) -> Dict:
             "mid_block.attentions.0", cfg.mid_block_transformer_layers
         )
     params["mid"] = mid
+    return params
+
+
+def convert_unet(tensors: Dict[str, np.ndarray], cfg: UNetConfig) -> Dict:
+    w = _W(tensors)
+    params = _convert_unet_trunk(w, cfg)
+    transformer = partial(_unet_transformer, w)
+    resnet = partial(_unet_resnet, w)
 
     up: List[Dict] = []
     for k in range(cfg.num_blocks):
@@ -305,6 +320,55 @@ def convert_unet(tensors: Dict[str, np.ndarray], cfg: UNetConfig) -> Dict:
     params["conv_out"] = w.conv("conv_out")
     w.warn_unused("unet")
     return params
+
+
+def convert_controlnet(tensors: Dict[str, np.ndarray], cfg: UNetConfig) -> Dict:
+    """diffusers ControlNetModel safetensors → models.controlnet pytree.
+
+    Layout = the UNet trunk plus the hint-embedding ladder
+    (``controlnet_cond_embedding.*``) and the zero-conv taps
+    (``controlnet_down_blocks.{i}`` / ``controlnet_mid_block``)."""
+    w = _W(tensors)
+    params = _convert_unet_trunk(w, cfg)
+
+    blocks = []
+    i = 0
+    while w.has(f"controlnet_cond_embedding.blocks.{i}.weight"):
+        blocks.append(w.conv(f"controlnet_cond_embedding.blocks.{i}"))
+        i += 1
+    params["cond_embedding"] = {
+        "conv_in": w.conv("controlnet_cond_embedding.conv_in"),
+        "blocks": blocks,
+        "conv_out": w.conv("controlnet_cond_embedding.conv_out"),
+    }
+
+    taps = []
+    i = 0
+    while w.has(f"controlnet_down_blocks.{i}.weight"):
+        taps.append(w.conv(f"controlnet_down_blocks.{i}"))
+        i += 1
+    params["zero_down"] = taps
+    params["zero_mid"] = w.conv("controlnet_mid_block")
+    w.warn_unused("controlnet")
+    return params
+
+
+def load_controlnet(model_dir: str) -> Tuple[Dict, UNetConfig]:
+    """Load a diffusers-layout ControlNet directory (config.json +
+    diffusion_pytorch_model.safetensors). Returns (params, cfg) ready for
+    ``LCMPipeline.set_controlnet``."""
+    cfg = unet_config_from_json(_read_json(os.path.join(model_dir, "config.json")))
+    path = find_weights_file(model_dir)
+    if path is None:
+        raise FileNotFoundError(f"no safetensors weights in {model_dir}")
+    params = convert_controlnet(_load_safetensors(path), cfg)
+    n_skips = 1 + cfg.num_blocks * cfg.layers_per_block + (cfg.num_blocks - 1)
+    if len(params["zero_down"]) != n_skips:
+        raise ValueError(
+            f"controlnet has {len(params['zero_down'])} down taps; the UNet "
+            f"trunk produces {n_skips} skips — incompatible architecture"
+        )
+    return params, cfg
 
 
 def _convert_vae_mid(w: _W, key: str) -> Dict:

@@ -99,32 +99,21 @@ def _spatial_transformer(p, x, context, *, heads, groups, impl="auto"):
 
 
 # ---------------------------------------------------------------------------
-# forward
+# trunk pieces (shared with models.controlnet, which runs the same down/mid
+# stack under zero-conv taps)
 # ---------------------------------------------------------------------------
 
 
-def forward(
+def time_embed(
     params,
     cfg: UNetConfig,
-    sample: jnp.ndarray,
     timesteps: jnp.ndarray,
-    encoder_hidden_states: jnp.ndarray,
-    timestep_cond: Optional[jnp.ndarray] = None,
-    added_text_embeds: Optional[jnp.ndarray] = None,
-    added_time_ids: Optional[jnp.ndarray] = None,
+    timestep_cond: Optional[jnp.ndarray],
+    added_text_embeds: Optional[jnp.ndarray],
+    added_time_ids: Optional[jnp.ndarray],
+    dtype,
 ) -> jnp.ndarray:
-    """Predict noise for ``sample`` [B, H, W, 4] at ``timesteps`` [B].
-
-    encoder_hidden_states: [B, 77, cross_attention_dim] text conditioning.
-    timestep_cond: [B, time_cond_proj_dim] LCM guidance embedding (w).
-    added_text_embeds / added_time_ids: SDXL micro-conditioning
-    ([B, pooled_dim], [B, 6]).
-    """
-    dtype = params["conv_in"]["w"].dtype
-    x = sample.astype(dtype)
-    context = encoder_hidden_states.astype(dtype)
-
-    # --- time embedding (fp32 sinusoid, then MLP in params dtype) ---
+    """Combined time / LCM-w / SDXL-micro-conditioning embedding [B, temb]."""
     t_emb = timestep_embedding(
         timesteps, cfg.block_out_channels[0],
         flip_sin_to_cos=cfg.flip_sin_to_cos, downscale_freq_shift=cfg.freq_shift,
@@ -147,9 +136,13 @@ def forward(
         ).astype(dtype)
         a = linear(params["add_embedding"]["linear_1"], add)
         emb = emb + linear(params["add_embedding"]["linear_2"], silu(a))
+    return emb
 
-    # --- down ---
-    x = conv2d(params["conv_in"], x)
+
+def down_blocks(params, cfg: UNetConfig, x, emb, context):
+    """Run the down stack on post-conv_in ``x``. Returns (x, skips) where
+    ``skips`` includes the initial sample — one entry per skip connection
+    the up stack (or a ControlNet zero-conv tap) consumes."""
     skips = [x]
     for i, block in enumerate(params["down"]):
         heads = cfg.num_attention_heads[i]
@@ -165,8 +158,10 @@ def forward(
         if "downsample" in block:
             x = conv2d(block["downsample"], x, stride=2)
             skips.append(x)
+    return x, skips
 
-    # --- mid ---
+
+def mid_block(params, cfg: UNetConfig, x, emb, context):
     mid = params["mid"]
     x = _resnet(mid["resnet1"], x, emb, groups=cfg.norm_groups)
     if "attention" in mid:
@@ -175,7 +170,56 @@ def forward(
             heads=cfg.num_attention_heads[-1], groups=cfg.norm_groups,
             impl=cfg.attention_impl,
         )
-    x = _resnet(mid["resnet2"], x, emb, groups=cfg.norm_groups)
+    return _resnet(mid["resnet2"], x, emb, groups=cfg.norm_groups)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def forward(
+    params,
+    cfg: UNetConfig,
+    sample: jnp.ndarray,
+    timesteps: jnp.ndarray,
+    encoder_hidden_states: jnp.ndarray,
+    timestep_cond: Optional[jnp.ndarray] = None,
+    added_text_embeds: Optional[jnp.ndarray] = None,
+    added_time_ids: Optional[jnp.ndarray] = None,
+    down_residuals=None,
+    mid_residual=None,
+) -> jnp.ndarray:
+    """Predict noise for ``sample`` [B, H, W, 4] at ``timesteps`` [B].
+
+    encoder_hidden_states: [B, 77, cross_attention_dim] text conditioning.
+    timestep_cond: [B, time_cond_proj_dim] LCM guidance embedding (w).
+    added_text_embeds / added_time_ids: SDXL micro-conditioning
+    ([B, pooled_dim], [B, 6]).
+    down_residuals / mid_residual: ControlNet taps (models.controlnet) —
+    one residual per skip connection plus one for the mid output, following
+    the diffusers consumption contract (residuals modify the skips handed to
+    the up stack and the mid output, not the sample flowing into mid).
+    """
+    dtype = params["conv_in"]["w"].dtype
+    x = sample.astype(dtype)
+    context = encoder_hidden_states.astype(dtype)
+
+    emb = time_embed(
+        params, cfg, timesteps, timestep_cond, added_text_embeds,
+        added_time_ids, dtype,
+    )
+
+    # --- down ---
+    x = conv2d(params["conv_in"], x)
+    x, skips = down_blocks(params, cfg, x, emb, context)
+    if down_residuals is not None:
+        skips = [s + r.astype(s.dtype) for s, r in zip(skips, down_residuals)]
+
+    # --- mid ---
+    x = mid_block(params, cfg, x, emb, context)
+    if mid_residual is not None:
+        x = x + mid_residual.astype(x.dtype)
 
     # --- up ---
     for k, block in enumerate(params["up"]):

@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from .loader import PipelineBundle
-from .models import clip_text, unet, vae
+from .models import clip_text, controlnet as controlnet_model, unet, vae
 from .models.layers import cast_tree
 from .scheduler.lcm import (
     LCMSchedule,
@@ -160,6 +160,33 @@ class LCMPipeline:
         self._progress_lock = threading.Lock()
         self.vae_scale = bundle.vae_cfg.scale_factor
         self.latent_channels = bundle.vae_cfg.latent_channels
+        # optional ControlNet (set_controlnet) — weights are jit arguments,
+        # so swapping canny/depth/pose nets never recompiles
+        self.controlnet_params = None
+        self.controlnet_cfg = None
+
+    def set_controlnet(self, params, cfg) -> None:
+        """Attach a ControlNet (models.controlnet layout + UNetConfig).
+
+        Pass ``params=None`` to detach. Generation requests opt in per call
+        via ``generate(control_image=...)`` — the no-hint program is a
+        separate compile bucket, so plain traffic never pays for the trunk.
+        """
+        if params is None:
+            self.controlnet_params = None
+            self.controlnet_cfg = None
+            return
+        if self.mesh is not None:
+            from .parallel.sharding import replicated
+
+            self.controlnet_params = jax.device_put(
+                cast_tree(params, self.dtype), replicated(self.mesh)
+            )
+        else:
+            self.controlnet_params = jax.device_put(
+                cast_tree(params, self.dtype), self.device
+            )
+        self.controlnet_cfg = cfg
 
     # ------------------------------------------------------------------
     # host-side preparation
@@ -258,7 +285,8 @@ class LCMPipeline:
     # ------------------------------------------------------------------
 
     def _build(self, batch: int, h_lat: int, w_lat: int, steps: int, cfg_mode: str,
-               rng_mode: str, task: str = "txt2img", progress: str = "none"):
+               rng_mode: str, task: str = "txt2img", progress: str = "none",
+               ctrl: bool = False):
         """Trace + jit the full txt2img program for one shape bucket.
 
         cfg_mode: 'wcond' (LCM guidance embedding) or 'cfg' (classifier-free
@@ -290,17 +318,39 @@ class LCMPipeline:
             seq2, pooled = clip_text.encode_text(text_params_2, ids_2, text_cfg_2)
             return jnp.concatenate([seq1, seq2], axis=-1), pooled
 
+        cn_cfg = self.controlnet_cfg
+
         def denoise_decode(
             unet_params, vae_params, ctx, pooled, ctx_neg, pooled_neg,
             latents0, noises, schedule: LCMSchedule, w_emb, guidance, time_ids,
-            inpaint=None, progress_token=None,
+            inpaint=None, progress_token=None, control=None,
         ):
             """inpaint: optional (known_x0, mask_lat, noises_known) — legacy
             inpainting blends the known region back at each step, renoised
-            to the upcoming timestep (mask 1 = regenerate)."""
+            to the upcoming timestep (mask 1 = regenerate).
+            control: optional (cn_params, cond_emb, scale) — cond_emb is the
+            hint embedding precomputed OUTSIDE the scan (latent-independent),
+            already batch-doubled for cfg buckets."""
+
             added_kw = {}
             if is_xl:
                 added_kw = dict(added_text_embeds=pooled, added_time_ids=time_ids)
+
+            def ctrl_kw(lat_, t_, ctx_, tc, add_kw):
+                """ControlNet residual taps for one UNet invocation."""
+                if control is None:
+                    return {}
+                cn_params, cond_emb, scale = control
+                kw = {}
+                if cn_cfg.time_cond_proj_dim is not None and tc is not None:
+                    kw["timestep_cond"] = tc
+                if cn_cfg.addition_embed_type == "text_time":
+                    kw.update(add_kw)
+                down_r, mid_r = controlnet_model.forward(
+                    cn_params, cn_cfg, lat_, t_, ctx_, cond_emb,
+                    conditioning_scale=scale, **kw,
+                )
+                return {"down_residuals": down_r, "mid_residual": mid_r}
 
             def unet_step(lat, i):
                 t = jnp.full((batch,), schedule.timesteps[i], jnp.int32)
@@ -308,6 +358,7 @@ class LCMPipeline:
                     return unet.forward(
                         unet_params, unet_cfg, lat, t, ctx,
                         timestep_cond=w_emb, **added_kw,
+                        **ctrl_kw(lat, t, ctx, w_emb, added_kw),
                     )
                 if cfg_mode == "cfg":
                     # batch-doubled classifier-free guidance
@@ -326,10 +377,16 @@ class LCMPipeline:
                                 [time_ids[0], time_ids[1]], axis=0
                             ),
                         )
-                    out = unet.forward(unet_params, unet_cfg, lat2, t2, ctx2, **kw)
+                    out = unet.forward(
+                        unet_params, unet_cfg, lat2, t2, ctx2, **kw,
+                        **ctrl_kw(lat2, t2, ctx2, None, kw),
+                    )
                     uncond, cond = jnp.split(out, 2, axis=0)
                     return uncond + guidance * (cond - uncond)
-                return unet.forward(unet_params, unet_cfg, lat, t, ctx, **added_kw)
+                return unet.forward(
+                    unet_params, unet_cfg, lat, t, ctx, **added_kw,
+                    **ctrl_kw(lat, t, ctx, None, added_kw),
+                )
 
             def body(carry, inp):
                 i, lat = carry
@@ -444,7 +501,7 @@ class LCMPipeline:
             text_params, text_params_2, unet_params, vae_params,
             ids, ids_neg, ids_2, ids_2_neg,
             latents0, noises, schedule: LCMSchedule, w_emb, guidance, time_ids,
-            progress_token=None,
+            progress_token=None, cn_params=None, hint=None, ctrl_scale=None,
         ):
             if rng_mode == "device":
                 # latents0 is the scalar seed; noises the init sigma
@@ -462,21 +519,34 @@ class LCMPipeline:
             ctx, pooled, ctx_neg, pooled_neg = encode_both(
                 text_params, text_params_2, ids, ids_neg, ids_2, ids_2_neg
             )
+            control = None
+            if ctrl:
+                # hint embedding is latent-independent: computed once here,
+                # outside the scan — only the trunk runs per step
+                cond_emb = controlnet_model.embed_cond(
+                    cn_params["cond_embedding"], hint
+                )
+                if cfg_mode == "cfg":
+                    cond_emb = jnp.concatenate([cond_emb, cond_emb], axis=0)
+                control = (cn_params, cond_emb, ctrl_scale)
             return denoise_decode(
                 unet_params, vae_params, ctx, pooled, ctx_neg, pooled_neg,
                 latents0, noises, schedule, w_emb, guidance, time_ids,
-                progress_token=progress_token,
+                progress_token=progress_token, control=control,
             )
 
         donate = (8,) if rng_mode == "host" else ()
         return jax.jit(program, donate_argnums=donate)
 
     def _get_compiled(self, batch, h_lat, w_lat, steps, cfg_mode,
-                      rng_mode="host", task="txt2img", progress="none"):
-        key = (batch, h_lat, w_lat, steps, cfg_mode, rng_mode, task, progress)
+                      rng_mode="host", task="txt2img", progress="none",
+                      ctrl=False):
+        key = (batch, h_lat, w_lat, steps, cfg_mode, rng_mode, task, progress,
+               ctrl)
         if key not in self._compiled:
             self._compiled[key] = self._build(
-                batch, h_lat, w_lat, steps, cfg_mode, rng_mode, task, progress
+                batch, h_lat, w_lat, steps, cfg_mode, rng_mode, task, progress,
+                ctrl,
             )
         return self._compiled[key]
 
@@ -515,6 +585,8 @@ class LCMPipeline:
         callback: Optional[Callable] = None,
         callback_steps: int = 1,
         callback_latents: bool = True,
+        control_image: Optional[np.ndarray] = None,
+        controlnet_scale: float = 1.0,
     ) -> GenerationResult:
         """Generate images. Returns uint8 [B, H, W, 3] + final latents.
 
@@ -531,6 +603,12 @@ class LCMPipeline:
         transfer and passes ``latents=None`` — the cheap form streaming
         progress endpoints use. Progress requests compile their own bucket,
         so callback-free serving traffic never pays for the hook.
+
+        control_image: optional [H, W, 3] (or [B, H, W, 3]) hint image at
+        the output size — uint8 or float in [0, 1] (the reference's
+        prepare_controlnet_cond contract, rknnlcm.py:693-697). Requires a
+        ControlNet attached via ``set_controlnet``; ``controlnet_scale``
+        scales the residual taps (diffusers conditioning_scale semantics).
         """
         # latents must survive every UNet downsample without odd dims
         divisor = self.vae_scale * 2 ** (self.bundle.unet_cfg.num_blocks - 1)
@@ -612,6 +690,29 @@ class LCMPipeline:
 
         time_ids = self._time_ids(height, width, bsz, aesthetic_score,
                                   cfg_mode=cfg_mode)
+
+        hint = None
+        if control_image is not None:
+            if self.controlnet_params is None:
+                raise ValueError(
+                    "control_image given but no ControlNet is attached "
+                    "(set_controlnet)"
+                )
+            hint = np.asarray(control_image)
+            if hint.ndim == 3:
+                hint = hint[None]
+            if hint.dtype == np.uint8:
+                # the reference's hint preprocessing contract:
+                # HWC/255.0 (rknnlcm.py:693-697) — resizing happens upstream
+                hint = hint.astype(np.float32) / 255.0
+            if hint.shape[1:3] != (height, width):
+                raise ValueError(
+                    f"control_image dims {hint.shape[1:3]} != output "
+                    f"{(height, width)} — resize the hint to the output size"
+                )
+            if hint.shape[0] == 1 and bsz > 1:
+                hint = np.broadcast_to(hint, (bsz,) + hint.shape[1:])
+            hint = jnp.asarray(np.ascontiguousarray(hint, np.float32))
         t_prep = time.time()
 
         lat0 = jnp.asarray(lat0)
@@ -633,6 +734,8 @@ class LCMPipeline:
             ids, ids_neg, ids_2, ids_2_neg = map(ds, (ids, ids_neg, ids_2, ids_2_neg))
             lat0, w_emb, time_ids = map(ds, (lat0, w_emb, time_ids))
             noises = ds(noises, 1)
+            if hint is not None:
+                hint = ds(hint)
             schedule = jax.device_put(schedule, rep)
 
         progress_mode = "none"
@@ -646,7 +749,7 @@ class LCMPipeline:
 
         fn = self._get_compiled(
             bsz, h_lat, w_lat, num_inference_steps, cfg_mode, rng_mode,
-            progress=progress_mode,
+            progress=progress_mode, ctrl=hint is not None,
         )
         try:
             args = [
@@ -656,9 +759,15 @@ class LCMPipeline:
                 lat0, noises, schedule, w_emb,
                 jnp.float32(guidance_scale), time_ids,
             ]
+            kw = {}
             if progress_mode != "none":
-                args.append(jnp.int32(token))
-            img_u8, denoised = fn(*args)
+                kw["progress_token"] = jnp.int32(token)
+            if hint is not None:
+                kw.update(
+                    cn_params=self.controlnet_params, hint=hint,
+                    ctrl_scale=jnp.float32(controlnet_scale),
+                )
+            img_u8, denoised = fn(*args, **kw)
             # pipelined: return the in-flight device arrays — the caller
             # overlaps the next request's dispatch/compute with this one's
             # d2h (wait())

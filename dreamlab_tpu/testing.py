@@ -10,7 +10,7 @@ from __future__ import annotations
 import numpy as np
 
 from .loader import PipelineBundle
-from .models import clip_text, configs, unet, vae
+from .models import clip_text, configs, controlnet, unet, vae
 from .scheduler.lcm import LCMConfig
 from .utils.tokenizer import make_test_tokenizer
 
@@ -82,3 +82,21 @@ def random_bundle(arch: str = "sd15", *, tiny: bool = False, seed: int = 0) -> P
             text_params_2=clip_text.init_params(text_cfg_2, rng),
         )
     raise ValueError(f"unknown arch {arch}")
+
+
+def random_controlnet(unet_cfg, *, seed: int = 7, zero_taps: bool = False,
+                      vae_scale: int = 8):
+    """Random ControlNet params matching ``unet_cfg``'s trunk.
+
+    The hint-embedding ladder length is derived from ``vae_scale`` so the
+    cond embedding lands exactly at latent resolution (tiny test VAEs use
+    scale 2; production SD VAEs use 8).
+    """
+    import math
+
+    n_downs = int(math.log2(vae_scale))
+    chans = tuple(16 * 2**i for i in range(n_downs + 1))
+    return controlnet.init_params(
+        unet_cfg, np.random.RandomState(seed),
+        cond_channels=chans, zero_taps=zero_taps,
+    )
