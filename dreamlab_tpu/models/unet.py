@@ -214,6 +214,12 @@ def forward(
     x = conv2d(params["conv_in"], x)
     x, skips = down_blocks(params, cfg, x, emb, context)
     if down_residuals is not None:
+        if len(down_residuals) != len(skips):
+            raise ValueError(
+                f"ControlNet provides {len(down_residuals)} down residuals "
+                f"but this UNet has {len(skips)} skip connections — "
+                "architecture mismatch"
+            )
         skips = [s + r.astype(s.dtype) for s, r in zip(skips, down_residuals)]
 
     # --- mid ---

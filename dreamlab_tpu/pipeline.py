@@ -176,6 +176,28 @@ class LCMPipeline:
             self.controlnet_params = None
             self.controlnet_cfg = None
             return
+        # validate the net against the *pipeline's* UNet before accepting it:
+        # residual taps must match the UNet's skip connections one-for-one
+        # (load_controlnet only checks the ControlNet's self-consistency)
+        ucfg = self.bundle.unet_cfg
+        n_skips = 1 + ucfg.num_blocks * ucfg.layers_per_block + (ucfg.num_blocks - 1)
+        taps = params.get("zero_down", ())
+        if len(taps) != n_skips:
+            raise ValueError(
+                f"ControlNet has {len(taps)} down taps but this UNet has "
+                f"{n_skips} skip connections — architecture mismatch"
+            )
+        c0 = taps[0]["w"].shape[-1]
+        if c0 != ucfg.block_out_channels[0]:
+            raise ValueError(
+                f"ControlNet tap channels ({c0}) != UNet "
+                f"block_out_channels[0] ({ucfg.block_out_channels[0]})"
+            )
+        if cfg.cross_attention_dim != ucfg.cross_attention_dim:
+            raise ValueError(
+                f"ControlNet cross_attention_dim {cfg.cross_attention_dim} "
+                f"!= UNet {ucfg.cross_attention_dim}"
+            )
         if self.mesh is not None:
             from .parallel.sharding import replicated
 
@@ -541,8 +563,14 @@ class LCMPipeline:
     def _get_compiled(self, batch, h_lat, w_lat, steps, cfg_mode,
                       rng_mode="host", task="txt2img", progress="none",
                       ctrl=False):
+        # _build closes over controlnet_cfg at trace time, so the cfg (a
+        # frozen, hashable dataclass) must be part of the bucket key —
+        # otherwise swapping in a structurally different ControlNet
+        # (time_cond_proj / addition_embed differences) would silently
+        # reuse a program traced for the old one
+        cn_key = self.controlnet_cfg if ctrl else None
         key = (batch, h_lat, w_lat, steps, cfg_mode, rng_mode, task, progress,
-               ctrl)
+               ctrl, cn_key)
         if key not in self._compiled:
             self._compiled[key] = self._build(
                 batch, h_lat, w_lat, steps, cfg_mode, rng_mode, task, progress,
@@ -701,9 +729,11 @@ class LCMPipeline:
             hint = np.asarray(control_image)
             if hint.ndim == 3:
                 hint = hint[None]
-            if hint.dtype == np.uint8:
+            if np.issubdtype(hint.dtype, np.integer):
                 # the reference's hint preprocessing contract:
-                # HWC/255.0 (rknnlcm.py:693-697) — resizing happens upstream
+                # HWC/255.0 (rknnlcm.py:693-697) — resizing happens upstream.
+                # Any integer dtype is treated as 0-255 pixels; floats are
+                # already on the documented [0, 1] contract.
                 hint = hint.astype(np.float32) / 255.0
             if hint.shape[1:3] != (height, width):
                 raise ValueError(

@@ -134,19 +134,70 @@ def test_sdxl_cfg_path(tmp_path):
 
 
 def test_batched_hint_broadcast(pipe, sd15):
-    """A single hint broadcasts across a batch; per-row hints are honored."""
+    """A single hint broadcasts across a batch; per-row hints are honored.
+
+    Batch rows draw independent noise from the shared seed stream by design
+    (each row is its own trajectory), so to isolate the hint's effect the
+    noise is pinned explicitly: identical latents/step-noise per row makes
+    the hint the ONLY varying input."""
     cn = random_controlnet(sd15.unet_cfg, zero_taps=False,
                            vae_scale=sd15.vae_cfg.scale_factor)
     pipe.set_controlnet(cn, sd15.unet_cfg)
     try:
+        h_lat = 32 // pipe.vae_scale
+        rs = np.random.RandomState(7)
+        lat = np.repeat(
+            rs.randn(1, h_lat, h_lat, pipe.latent_channels).astype(np.float32),
+            2, axis=0,
+        )
+        noises = np.repeat(
+            rs.randn(2, 1, h_lat, h_lat, pipe.latent_channels)
+            .astype(np.float32),
+            2, axis=1,
+        )
         r = pipe.generate("cat", height=32, width=32, num_inference_steps=2,
-                          seed=1, batch=2, control_image=_hint())
+                          seed=1, batch=2, latents=lat, step_noises=noises,
+                          control_image=_hint())
         assert r.images.shape[0] == 2
         np.testing.assert_array_equal(r.images[0], r.images[1])
         hints = np.stack([_hint(seed=0), _hint(seed=9)])
         r2 = pipe.generate("cat", height=32, width=32, num_inference_steps=2,
-                           seed=1, batch=2, control_image=hints)
+                           seed=1, batch=2, latents=lat, step_noises=noises,
+                           control_image=hints)
         assert not np.array_equal(r2.images[0], r2.images[1])
+        # row 0 of the per-row run uses the broadcast run's hint + identical
+        # noise, so the trajectories must agree exactly
+        np.testing.assert_array_equal(r.images[0], r2.images[0])
+    finally:
+        pipe.set_controlnet(None, None)
+
+
+def test_set_controlnet_rejects_mismatched_architecture(pipe, sd15):
+    """An architecture-mismatched ControlNet must fail fast at attach time,
+    not deep inside tracing (tap count / channels vs the pipeline's UNet)."""
+    import dataclasses as _dc
+
+    bad_cfg = _dc.replace(sd15.unet_cfg,
+                          layers_per_block=sd15.unet_cfg.layers_per_block + 1)
+    bad = random_controlnet(bad_cfg, vae_scale=sd15.vae_cfg.scale_factor)
+    with pytest.raises(ValueError, match="mismatch"):
+        pipe.set_controlnet(bad, bad_cfg)
+    assert pipe.controlnet_params is None
+
+
+def test_int_hint_dtypes_normalized(pipe, sd15):
+    """int32/int64 hints holding 0-255 pixels must match the uint8 result
+    (ADVICE r2: non-uint8 ints used to pass through as raw 0-255 floats)."""
+    cn = random_controlnet(sd15.unet_cfg, zero_taps=False,
+                           vae_scale=sd15.vae_cfg.scale_factor)
+    pipe.set_controlnet(cn, sd15.unet_cfg)
+    try:
+        h8 = _hint()
+        a = pipe.generate("cat", height=32, width=32, num_inference_steps=2,
+                          seed=1, control_image=h8)
+        b = pipe.generate("cat", height=32, width=32, num_inference_steps=2,
+                          seed=1, control_image=h8.astype(np.int64))
+        np.testing.assert_array_equal(a.images, b.images)
     finally:
         pipe.set_controlnet(None, None)
 
