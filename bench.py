@@ -25,6 +25,11 @@ def main():
 
     from dreamlab_tpu.pipeline import LCMPipeline
     from dreamlab_tpu.testing import random_bundle
+    from dreamlab_tpu.utils.compile_cache import enable_compile_cache
+
+    # persistent XLA cache: repeat bench runs (and the driver) skip the
+    # ~200 s of compiles the r2 run paid every time
+    print(f"# compile cache: {enable_compile_cache()}", file=sys.stderr)
 
     t0 = time.time()
     bundle = random_bundle("sd15")

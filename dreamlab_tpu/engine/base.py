@@ -48,6 +48,13 @@ class GenSpec:
     progress_cb: Optional[Callable[[int, int], None]] = dataclasses.field(
         default=None, compare=False, repr=False
     )
+    # ControlNet conditioning: hint image [H, W, 3] uint8 at the output
+    # size (servers decode/resize before building the spec) + residual
+    # scale (None = the mode's configured default)
+    control_image: Optional[object] = dataclasses.field(
+        default=None, compare=False, repr=False
+    )
+    controlnet_scale: Optional[float] = None
 
     def dims(self) -> Tuple[int, int]:
         return parse_size(self.size)

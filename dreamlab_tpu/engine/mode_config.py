@@ -61,12 +61,23 @@ class EmbeddingConfig:
 
 
 @dataclasses.dataclass
+class ControlNetConfig:
+    """Per-mode ControlNet: a diffusers-layout directory (config.json +
+    safetensors) attached to the mode's pipeline at load. ``scale`` is the
+    default conditioning strength; requests override it per call."""
+
+    file: str
+    scale: float = 1.0
+
+
+@dataclasses.dataclass
 class ModeConfig:
     name: str
     model: str  # absolute path after resolution
     description: str = ""
     loras: List[LoRAConfig] = dataclasses.field(default_factory=list)
     embeddings: List[EmbeddingConfig] = dataclasses.field(default_factory=list)
+    controlnet: Optional[ControlNetConfig] = None
     defaults: Dict = dataclasses.field(default_factory=dict)
 
     def default_size(self) -> Optional[str]:
@@ -135,12 +146,28 @@ class ModeConfigManager:
                 embeddings.append(
                     EmbeddingConfig(file=file, name=entry.get("name"))
                 )
+            controlnet = None
+            cn = spec.get("controlnet")
+            if cn:
+                if isinstance(cn, str):
+                    cn = {"file": cn}
+                cn_file = cn.get("file") or cn.get("path")
+                if not cn_file:
+                    raise ModeConfigError(
+                        f"mode {name!r}: controlnet needs 'file' (or 'path')"
+                    )
+                if not os.path.isabs(cn_file):
+                    cn_file = os.path.join(model_root, cn_file)
+                controlnet = ControlNetConfig(
+                    file=cn_file, scale=float(cn.get("scale", 1.0))
+                )
             modes[name] = ModeConfig(
                 name=name,
                 model=model_path,
                 description=spec.get("description", ""),
                 loras=loras,
                 embeddings=embeddings,
+                controlnet=controlnet,
                 defaults=dict(spec.get("defaults") or {}),
             )
 
@@ -171,6 +198,11 @@ class ModeConfigManager:
                     logger.warning(
                         "mode %s: lora missing: %s", mode.name, lora.file
                     )
+            if mode.controlnet and not os.path.exists(mode.controlnet.file):
+                logger.warning(
+                    "mode %s: controlnet missing: %s",
+                    mode.name, mode.controlnet.file,
+                )
 
     # ------------------------------------------------------------------
     def reload(self):
@@ -215,6 +247,11 @@ class ModeConfigManager:
                             }
                             for e in m.embeddings
                         ],
+                        "controlnet": (
+                            {"file": m.controlnet.file,
+                             "scale": m.controlnet.scale}
+                            if m.controlnet else None
+                        ),
                         "defaults": m.defaults,
                     }
                     for name, m in self.modes.items()

@@ -100,9 +100,13 @@ class TPUPipelineWorker:
         styles: Optional[Dict[str, StyleDef]] = None,
         default_size: Tuple[int, int] = (512, 512),
         warmup: bool = False,
+        controlnet_scale: float = 1.0,
     ):
         self.pipeline = pipeline
         self.worker_id = worker_id
+        # mode-default ControlNet conditioning scale (modes.yaml
+        # controlnet.scale); per-request controlnet_scale overrides it
+        self.controlnet_scale = controlnet_scale
         self.styles = dict(styles or {})
         self._style_cache: Dict[str, object] = {}  # path -> LoRATensors
         self._base_unet_params = pipeline.unet_params
@@ -160,6 +164,15 @@ class TPUPipelineWorker:
             cb_kw = dict(
                 callback=lambda i, t, lat: pcb(i, t),
                 callback_latents=False,
+            )
+        if spec.control_image is not None:
+            cb_kw.update(
+                control_image=spec.control_image,
+                controlnet_scale=(
+                    spec.controlnet_scale
+                    if spec.controlnet_scale is not None
+                    else self.controlnet_scale
+                ),
             )
         with self._lock:
             self._apply_style(spec.style, spec.style_level)
@@ -271,6 +284,10 @@ class TPUPipelineWorker:
             # its own steps, not a coalesced batch's
             and a.progress_cb is None
             and b.progress_cb is None
+            # ControlNet jobs run solo: coalescing would have to stack
+            # per-request hints and share a scale — not worth the bucket
+            and a.control_image is None
+            and b.control_image is None
         )
 
     def run_jobs(self, specs) -> list:

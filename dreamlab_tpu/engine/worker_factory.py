@@ -29,6 +29,11 @@ def detect_worker_type(model_path: str) -> str:
         raise WorkerCreationError(str(e)) from e
     if info.is_lora:
         raise WorkerCreationError(f"{model_path} is a LoRA, not a checkpoint")
+    if info.is_controlnet:
+        raise WorkerCreationError(
+            f"{model_path} is a ControlNet — attach it to a mode via the "
+            "modes.yaml 'controlnet:' key, it cannot serve standalone"
+        )
     if info.arch is None:
         raise WorkerCreationError(
             f"unsupported model (cross_attention_dim="
@@ -75,6 +80,32 @@ def apply_mode_loras(pipeline, loras) -> None:
         )
 
 
+def attach_mode_controlnet(pipeline, controlnet) -> float:
+    """Load a mode's ControlNet (diffusers-layout dir) and attach it.
+
+    Returns the mode's default conditioning scale. Warn-don't-raise like
+    mode LoRAs: a missing/incompatible ControlNet degrades to the bare
+    model instead of failing the mode switch.
+    """
+    from ..loader import load_controlnet
+
+    try:
+        t0 = time.time()
+        params, cfg = load_controlnet(controlnet.file)
+        pipeline.set_controlnet(params, cfg)
+        logger.info(
+            "controlnet %s attached (scale %.2f) in %.0f ms",
+            controlnet.file, controlnet.scale, 1e3 * (time.time() - t0),
+        )
+        return controlnet.scale
+    except Exception as e:
+        logger.warning(
+            "controlnet %s not attached (%s); serving without conditioning",
+            controlnet.file, e,
+        )
+        return 1.0
+
+
 def create_tpu_worker(
     worker_id: int,
     model_path: str,
@@ -82,6 +113,7 @@ def create_tpu_worker(
     styles: Optional[Dict[str, StyleDef]] = None,
     loras=None,
     embeddings=None,
+    controlnet=None,
     dtype=None,
     mesh=None,
     tensor_parallel: bool = False,
@@ -92,6 +124,8 @@ def create_tpu_worker(
 
     loras: sequence of mode LoRA configs ({file, strength}) merged into the
     loaded weights before the worker snapshots its style baseline.
+    controlnet: optional mode ControlNet config ({file, scale}) attached to
+    the pipeline; requests opt in per call via ``control_image``.
     pipeline_factory: injectable for tests (returns an LCMPipeline-like).
     """
     import jax.numpy as jnp
@@ -123,6 +157,9 @@ def create_tpu_worker(
         )
     if loras:
         apply_mode_loras(pipeline, loras)
+    cn_scale = 1.0
+    if controlnet is not None:
+        cn_scale = attach_mode_controlnet(pipeline, controlnet)
     logger.info(
         "worker %d: loaded %s (%s) in %.1fs",
         worker_id, model_path, arch, time.time() - t0,
@@ -131,7 +168,8 @@ def create_tpu_worker(
         from .styles import get_style_registry
 
         styles = get_style_registry()
-    worker = TPUPipelineWorker(pipeline, worker_id, styles=styles)
+    worker = TPUPipelineWorker(pipeline, worker_id, styles=styles,
+                               controlnet_scale=cn_scale)
     if warmup_size:
         w, h = warmup_size
         pipeline.warmup(h, w)

@@ -153,11 +153,12 @@ class WorkerPool:
     # ------------------------------------------------------------------
     @staticmethod
     def _default_factory(worker_id: int, model_path: str, *, loras=None,
-                         embeddings=None):
+                         embeddings=None, controlnet=None):
         from .worker_factory import create_tpu_worker
 
         return create_tpu_worker(
-            worker_id, model_path, loras=loras, embeddings=embeddings
+            worker_id, model_path, loras=loras, embeddings=embeddings,
+            controlnet=controlnet,
         )
 
     def _load_mode(self, mode_name: str):
@@ -212,25 +213,26 @@ class WorkerPool:
         import os
 
         used_before = self.registry.get_used_hbm()
-        # per-mode LoRAs (with strengths) merge at load — injected test
-        # factories with the plain (worker_id, model_path) signature still work
-        try:
-            fsig = inspect.signature(self._factory)
-            takes_loras = "loras" in fsig.parameters or any(
+        # per-mode extras (LoRAs with strengths, textual inversions, the
+        # mode's ControlNet) pass to factories that accept them — injected
+        # test factories with the plain (worker_id, model_path) signature
+        # still work
+        def accepts(name) -> bool:
+            try:
+                fsig = inspect.signature(self._factory)
+            except (TypeError, ValueError):
+                return False
+            return name in fsig.parameters or any(
                 p.kind is p.VAR_KEYWORD for p in fsig.parameters.values()
             )
-        except (TypeError, ValueError):
-            takes_loras = False
+
         kwargs = {}
-        if takes_loras:
-            if mode.loras:
-                kwargs["loras"] = mode.loras
-            if getattr(mode, "embeddings", None) and (
-                "embeddings" in fsig.parameters or any(
-                    p.kind is p.VAR_KEYWORD for p in fsig.parameters.values()
-                )
-            ):
-                kwargs["embeddings"] = mode.embeddings
+        if mode.loras and accepts("loras"):
+            kwargs["loras"] = mode.loras
+        if getattr(mode, "embeddings", None) and accepts("embeddings"):
+            kwargs["embeddings"] = mode.embeddings
+        if getattr(mode, "controlnet", None) and accepts("controlnet"):
+            kwargs["controlnet"] = mode.controlnet
         worker = self._factory(0, mode.model, **kwargs) if kwargs \
             else self._factory(0, mode.model)
         # pre-compile the mode's default bucket so the first request after a
@@ -266,6 +268,7 @@ class WorkerPool:
 
     @staticmethod
     def _mode_signature(mode) -> tuple:
+        cn = getattr(mode, "controlnet", None)
         return (
             mode.model,
             tuple((l.file, l.strength) for l in (mode.loras or [])),
@@ -273,6 +276,7 @@ class WorkerPool:
                 (e.file, e.name)
                 for e in (getattr(mode, "embeddings", None) or [])
             ),
+            (cn.file, cn.scale) if cn else None,
         )
 
     def _pop_lru_locked(self):

@@ -187,7 +187,36 @@ async def _await_future(fut, timeout: float):
         raise
 
 
+def _decode_hint_image(data: bytes, size: str):
+    """Hint bytes → RGB uint8 array resized to the output size (the
+    reference's prepare_controlnet_cond contract expects the hint at output
+    resolution, rknnlcm.py:693-697 — the server is the 'upstream' that
+    resizes)."""
+    import io
+
+    import numpy as np
+    from PIL import Image as PILImage
+
+    from ..engine.base import parse_size
+
+    width, height = parse_size(size)
+    img = PILImage.open(io.BytesIO(data)).convert("RGB")
+    if img.size != (width, height):
+        img = img.resize((width, height), PILImage.LANCZOS)
+    return np.asarray(img)
+
+
 def _spec_from_request(req: GenerateRequest, state: ServerState) -> GenSpec:
+    control = None
+    if req.control_image:
+        b64 = req.control_image
+        if b64.startswith("data:"):  # data URL → strip the header
+            b64 = b64.split(",", 1)[-1]
+        try:
+            raw = base64.b64decode(b64, validate=True)
+        except Exception as e:
+            raise ValueError(f"control_image is not valid base64: {e}") from e
+        control = _decode_hint_image(raw, req.size)
     return GenSpec(
         prompt=req.prompt,
         size=req.size,
@@ -200,6 +229,8 @@ def _spec_from_request(req: GenerateRequest, state: ServerState) -> GenSpec:
         aesthetic_score=(
             req.aesthetic_score if req.aesthetic_score is not None else 6.0
         ),
+        control_image=control,
+        controlnet_scale=req.controlnet_scale,
     )
 
 
@@ -264,6 +295,15 @@ async def run_generate(state: ServerState, req: GenerateRequest,
         "X-Mode": state.pool.current_mode if state.pool else "legacy",
         "X-SuperRes": "0",
     }
+    if spec.control_image is not None:
+        headers["X-ControlNet"] = "1"
+        headers["X-ControlNet-Scale"] = str(
+            spec.controlnet_scale if spec.controlnet_scale is not None
+            else getattr(
+                state.pool.worker if state.pool else None,
+                "controlnet_scale", 1.0,
+            )
+        )
     media_type = "image/png"
     data = png
 
@@ -479,6 +519,67 @@ async def img2img_handler(request: web.Request) -> web.Response:
         headers={"X-Seed": str(seed),
                  "X-Mode": state.pool.current_mode or "",
                  "X-Strength": str(strength)},
+    )
+
+
+async def controlnet_handler(request: web.Request) -> web.Response:
+    """POST /v1/controlnet (multipart): file (hint image), prompt, size,
+    steps, guidance, seed, negative_prompt, scale → image bytes + X-Seed /
+    X-ControlNet headers.
+
+    The multipart twin of /generate's base64 ``control_image`` field —
+    completes the reference's unfinished ControlNet roadmap item
+    (README.md:529 "in progress"; hint contract rknnlcm.py:693-697).
+    Requires the active mode to declare a ``controlnet:``.
+    """
+    state: ServerState = request.app[STATE_KEY]
+    if state.pool is None:
+        raise web.HTTPServiceUnavailable(
+            text=json.dumps({"detail": "controlnet requires the mode system"}),
+            content_type="application/json",
+        )
+    post = await request.post()
+    upload = post.get("file")
+    if upload is None or not hasattr(upload, "file"):
+        raise web.HTTPBadRequest(
+            text=json.dumps({"detail": "multipart field 'file' required"}),
+            content_type="application/json",
+        )
+    prompt = str(post.get("prompt", "") or "")
+    if not prompt:
+        raise web.HTTPBadRequest(
+            text=json.dumps({"detail": "field 'prompt' required"}),
+            content_type="application/json",
+        )
+    size = str(post.get("size", state.config.default_size))
+    hint = _decode_hint_image(upload.file.read(), size)
+    seed_raw = post.get("seed")
+    scale_raw = post.get("scale")
+    spec = GenSpec(
+        prompt=prompt,
+        size=size,
+        num_inference_steps=int(post.get("steps", state.config.default_steps)),
+        guidance_scale=float(post.get("guidance", state.config.default_guidance)),
+        seed=int(seed_raw) if seed_raw not in (None, "") else None,
+        negative_prompt=str(post.get("negative_prompt") or "") or None,
+        control_image=hint,
+        controlnet_scale=(
+            float(scale_raw) if scale_raw not in (None, "") else None
+        ),
+    )
+    fut = state.pool.submit_job(GenerationJob(spec))
+    png, seed = await _await_future(fut, timeout=state.config.request_timeout)
+    return web.Response(
+        body=png, content_type="image/png",
+        headers={
+            "X-Seed": str(seed),
+            "X-Mode": state.pool.current_mode or "",
+            "X-ControlNet": "1",
+            "X-ControlNet-Scale": str(
+                spec.controlnet_scale if spec.controlnet_scale is not None
+                else getattr(state.pool.worker, "controlnet_scale", 1.0)
+            ),
+        },
     )
 
 
@@ -713,6 +814,7 @@ def create_app(
     app.router.add_post("/v1/superres", superres_handler)
     app.router.add_post("/v1/img2img", img2img_handler)
     app.router.add_post("/v1/inpaint", img2img_handler)
+    app.router.add_post("/v1/controlnet", controlnet_handler)
     app.router.add_get("/health", health_handler)
     app.router.add_get("/storage/health", storage_health_handler)
     app.router.add_get("/storage/{key:.+}", storage_get_handler)

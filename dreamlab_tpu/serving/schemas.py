@@ -36,6 +36,11 @@ class GenerateRequest(BaseModel):
     superres_magnitude: int = Field(default=2, ge=1, le=3)
     # refiner-class models only (5 micro-conditioning ids); ignored otherwise
     aesthetic_score: Optional[float] = Field(default=None, ge=0.0, le=10.0)
+    # ControlNet conditioning: base64 PNG/JPEG hint image (raw b64 or data
+    # URL); requires the active mode to declare a `controlnet:` in
+    # modes.yaml. The server resizes the hint to the output size.
+    control_image: Optional[str] = None
+    controlnet_scale: Optional[float] = Field(default=None, ge=0.0, le=2.0)
 
     @field_validator("size")
     @classmethod

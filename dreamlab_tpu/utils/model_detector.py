@@ -27,8 +27,9 @@ class DetectionError(Exception):
 @dataclasses.dataclass
 class ModelInfo:
     path: str
-    format: Optional[str] = None  # diffusers_dir | safetensors | lora | unknown
+    format: Optional[str] = None  # diffusers_dir | safetensors | lora | controlnet | unknown
     is_lora: bool = False
+    is_controlnet: bool = False
     cross_attention_dim: Optional[int] = None
     variant: Optional[str] = None  # SD15 | SD21 | SDXL
     arch: Optional[str] = None  # sd15 | sdxl (serving class)
@@ -56,6 +57,40 @@ def _safetensors_shapes(path: str) -> Dict[str, List[int]]:
         for k in f.keys():
             shapes[k] = list(f.get_slice(k).get_shape())
     return shapes
+
+
+def controlnet_detector(info: ModelInfo) -> Optional[ModelInfo]:
+    """Recognize ControlNet checkpoints — they have no cross_attention UNet
+    in the servable sense (the trunk exists but there is no up stack), so
+    neither shape-based rule above fires; detection keys off the
+    class name (diffusers dirs) or the ``controlnet_*`` tensor prefixes
+    (single files)."""
+    if os.path.isdir(info.path):
+        cfg_path = os.path.join(info.path, "config.json")
+        # ControlNet dirs carry config.json at the ROOT (no unet/ subdir)
+        if os.path.exists(cfg_path) and not os.path.exists(
+            os.path.join(info.path, "unet", "config.json")
+        ):
+            with open(cfg_path) as f:
+                cfg = json.load(f)
+            if cfg.get("_class_name") == "ControlNetModel":
+                info.format = "controlnet"
+                info.is_controlnet = True
+                info.cross_attention_dim = cfg.get("cross_attention_dim")
+                info.extra["controlnet_config"] = cfg
+                return info
+        return None
+    if info.format == "safetensors":
+        shapes = info.extra.get("safetensors_shapes") or {}
+        if any(
+            k.startswith("controlnet_cond_embedding")
+            or k.startswith("controlnet_down_blocks")
+            or "control_model." in k  # ldm single-file layout
+            for k in shapes
+        ):
+            info.format = "controlnet"
+            info.is_controlnet = True
+    return info
 
 
 def diffusers_dir_detector(info: ModelInfo) -> Optional[ModelInfo]:
@@ -86,6 +121,7 @@ def safetensors_detector(info: ModelInfo) -> Optional[ModelInfo]:
         return None
     shapes = _safetensors_shapes(info.path)
     info.format = "safetensors"
+    info.extra["safetensors_shapes"] = shapes
 
     if any(".lora_down." in k or ".lora_A." in k or k.startswith("lora_") for k in shapes):
         info.is_lora = True
@@ -236,7 +272,7 @@ def compatibility_resolver(info: ModelInfo) -> Optional[ModelInfo]:
     """Variant → serving worker class (reference CompatibilityResolver,
     model_detector.py:454-558; here every supported variant serves through
     the TPU worker with an arch tag)."""
-    if info.is_lora:
+    if info.is_lora or info.is_controlnet:
         return info
     if info.variant in ("SD15", "SD21"):
         info.arch = "sd15"
@@ -251,6 +287,7 @@ DEFAULT_STACK: List[Detector] = [
     diffusers_dir_detector,
     safetensors_detector,
     checkpoint_detector,
+    controlnet_detector,
     variant_classifier,
     resolution_detector,
     compatibility_resolver,
@@ -279,6 +316,8 @@ class ModelDetector:
                 info = out
         if info.format is None:
             info.format = "unknown"
+        # working scratch for inter-detector communication, not a result
+        info.extra.pop("safetensors_shapes", None)
         return info
 
 
