@@ -24,6 +24,29 @@ async function api(path, opts) {
 }
 
 // ---------------------------------------------------------------------------
+// AbortController manager (reference api.js:307-420): every long-running
+// fetch registers a controller; superseding requests and tab close abort
+// in-flight work, which closes the connection and triggers the SERVER's
+// queued-job disconnect-cancellation (serving/app.py _await_future).
+// ---------------------------------------------------------------------------
+
+const inflightControllers = new Set();
+function makeController() {
+  const ctrl = new AbortController();
+  inflightControllers.add(ctrl);
+  return ctrl;
+}
+function releaseController(ctrl) {
+  inflightControllers.delete(ctrl);
+}
+function abortAll() {
+  for (const c of inflightControllers) c.abort();
+  inflightControllers.clear();
+}
+// tab close / navigation: cancel everything still queued server-side
+window.addEventListener("pagehide", abortAll);
+
+// ---------------------------------------------------------------------------
 // helpers
 // ---------------------------------------------------------------------------
 
@@ -179,8 +202,11 @@ async function img2imgPass(blob, { prompt, steps, cfg, denoise, seed, label }) {
   form.append("seed", String(seed));
   addMessage("user", `[${label}] ${prompt}`);
   const pending = addMessage("bot pending", "refining…");
+  const ctrl = makeController();
   try {
-    const resp = await api("/v1/img2img", { method: "POST", body: form });
+    const resp = await api("/v1/img2img", {
+      method: "POST", body: form, signal: ctrl.signal,
+    });
     if (!resp.ok) throw new Error("HTTP " + resp.status);
     const out = await resp.blob();
     const meta = { prompt, seed: resp.headers.get("X-Seed"), size: $("p-size").value };
@@ -191,6 +217,8 @@ async function img2imgPass(blob, { prompt, steps, cfg, denoise, seed, label }) {
     pending.replaceChildren(el("div", "text error", "✗ " + e.message));
     pending.className = "msg bot";
     return null;
+  } finally {
+    releaseController(ctrl);
   }
 }
 
@@ -291,11 +319,30 @@ function setDreamMode(on) {
 // chat generation
 // ---------------------------------------------------------------------------
 
+// blob-URL lifecycle (reference api.js blob manager): long sessions used to
+// leak one object URL per image forever; now the chat keeps a bounded
+// window and revokes the URLs inside evicted messages.
+const MAX_MESSAGES = 80;
+function revokeBlobUrls(node) {
+  for (const tagged of node.querySelectorAll("[data-blob-url]")) {
+    URL.revokeObjectURL(tagged.dataset.blobUrl);
+  }
+}
+function pruneMessages() {
+  const box = $("messages");
+  while (box.children.length > MAX_MESSAGES) {
+    const evicted = box.firstElementChild;
+    revokeBlobUrls(evicted);
+    evicted.remove();
+  }
+}
+
 function addMessage(kind, content) {
   const box = el("div", "msg " + kind);
   if (typeof content === "string") box.append(el("div", "text", content));
   else box.append(content);
   $("messages").append(box);
+  pruneMessages();
   box.scrollIntoView({ behavior: "smooth", block: "end" });
   return box;
 }
@@ -304,6 +351,7 @@ function imageCard(blobUrl, meta) {
   const card = el("figure", "imgcard");
   const img = el("img");
   img.src = blobUrl;
+  img.dataset.blobUrl = blobUrl; // revoked when the message is evicted
   img.alt = meta.prompt || "generated image";
   card.append(img);
   const cap = el("figcaption", "",
@@ -333,11 +381,12 @@ function imageCard(blobUrl, meta) {
 
 // SSE generation: per-step progress events + base64 result (POST, so
 // EventSource doesn't apply — parse the stream by hand)
-async function generateViaStream(body, onStep) {
+async function generateViaStream(body, onStep, signal) {
   const resp = await api("/generate/stream", {
     method: "POST",
     headers: { "Content-Type": "application/json" },
     body: JSON.stringify(body),
+    signal,
   });
   if (!resp.ok || !resp.body) throw new Error(`${resp.status}`);
   const reader = resp.body.getReader();
@@ -372,10 +421,21 @@ async function generateViaStream(body, onStep) {
 }
 
 let generating = false;
+let genAbort = null; // controller of the in-flight generate, if any
+let genToken = 0;
 async function generate(overrides) {
-  if (generating) return;
+  const isDream = overrides && overrides._label === "dream";
+  if (generating && isDream) return; // dream beats skip rather than pile up
   const prompt = (overrides && overrides.prompt) || $("prompt").value.trim();
   if (!prompt) return;
+  if (generating && genAbort) {
+    // a user-initiated request supersedes the in-flight one: aborting the
+    // fetch closes the connection, and the server cancels the queued job
+    genAbort.abort();
+  }
+  const myToken = ++genToken;
+  const ctrl = makeController();
+  genAbort = ctrl;
   generating = true;
   $("send").disabled = true;
   const label = overrides && overrides._label;
@@ -421,13 +481,15 @@ async function generate(overrides) {
       // live per-step progress over SSE (falls back to /generate below)
       const r = await generateViaStream(body, (p) => {
         pending.textContent = `dreaming… step ${p.step + 1}/${p.total_steps}`;
-      });
+      }, ctrl.signal);
       blob = r.blob; seedOut = String(r.seed); keyOut = r.image_key;
     } catch (streamErr) {
+      if (ctrl.signal.aborted) throw streamErr; // superseded — don't retry
       const resp = await api("/generate", {
         method: "POST",
         headers: { "Content-Type": "application/json" },
         body: JSON.stringify(body),
+        signal: ctrl.signal,
       });
       if (!resp.ok) {
         const err = await resp.text();
@@ -451,12 +513,19 @@ async function generate(overrides) {
     if (ckey) cachePut(ckey, blob, meta);
     return blob;
   } catch (e) {
-    pending.replaceChildren(el("div", "text error", "✗ " + e.message));
+    const msg = ctrl.signal.aborted ? "superseded" : "✗ " + e.message;
+    pending.replaceChildren(el("div", "text error", msg));
     pending.className = "msg bot";
     return null;
   } finally {
-    generating = false;
-    $("send").disabled = false;
+    releaseController(ctrl);
+    // only the latest request owns the shared UI state — a superseded
+    // run's unwind must not re-enable the send button mid-generation
+    if (genToken === myToken) {
+      generating = false;
+      genAbort = null;
+      $("send").disabled = false;
+    }
   }
 }
 
@@ -484,14 +553,20 @@ async function restoreImages() {
 // superres upload
 // ---------------------------------------------------------------------------
 
+let srAbort = null; // a new SR upload supersedes the previous one
 async function upscaleFile(file) {
   setStatus("upscaling…");
   const form = new FormData();
   form.append("file", file, file.name);
   form.append("magnitude", $("p-sr-mag").value);
   form.append("out_format", "png");
+  if (srAbort) srAbort.abort();
+  const ctrl = makeController();
+  srAbort = ctrl;
   try {
-    const resp = await api("/superres", { method: "POST", body: form });
+    const resp = await api("/superres", {
+      method: "POST", body: form, signal: ctrl.signal,
+    });
     if (!resp.ok) throw new Error("HTTP " + resp.status);
     const blob = await resp.blob();
     addMessage("bot", imageCard(URL.createObjectURL(blob), {
@@ -500,7 +575,10 @@ async function upscaleFile(file) {
     }));
     setStatus("");
   } catch (e) {
-    setStatus("superres failed: " + e.message, true);
+    if (!ctrl.signal.aborted) setStatus("superres failed: " + e.message, true);
+  } finally {
+    releaseController(ctrl);
+    if (srAbort === ctrl) srAbort = null;
   }
 }
 
