@@ -71,6 +71,17 @@ class ControlNetConfig:
 
 
 @dataclasses.dataclass
+class RefinerConfig:
+    """Per-mode SDXL refiner checkpoint for base→refiner ensemble serving
+    (diffusers denoising_end/denoising_start): the base model runs the
+    first ``switch_at`` fraction of the step ladder, the refiner finishes
+    and decodes — latents hand off on device."""
+
+    file: str
+    switch_at: float = 0.8
+
+
+@dataclasses.dataclass
 class ModeConfig:
     name: str
     model: str  # absolute path after resolution
@@ -78,6 +89,7 @@ class ModeConfig:
     loras: List[LoRAConfig] = dataclasses.field(default_factory=list)
     embeddings: List[EmbeddingConfig] = dataclasses.field(default_factory=list)
     controlnet: Optional[ControlNetConfig] = None
+    refiner: Optional[RefinerConfig] = None
     defaults: Dict = dataclasses.field(default_factory=dict)
 
     def default_size(self) -> Optional[str]:
@@ -161,6 +173,24 @@ class ModeConfigManager:
                 controlnet = ControlNetConfig(
                     file=cn_file, scale=float(cn.get("scale", 1.0))
                 )
+            refiner = None
+            rf = spec.get("refiner")
+            if rf:
+                if isinstance(rf, str):
+                    rf = {"model": rf}
+                rf_file = rf.get("model") or rf.get("file") or rf.get("path")
+                if not rf_file:
+                    raise ModeConfigError(
+                        f"mode {name!r}: refiner needs 'model' (or 'file')"
+                    )
+                if not os.path.isabs(rf_file):
+                    rf_file = os.path.join(model_root, rf_file)
+                switch_at = float(rf.get("switch_at", 0.8))
+                if not 0.0 < switch_at < 1.0:
+                    raise ModeConfigError(
+                        f"mode {name!r}: refiner switch_at must be in (0, 1)"
+                    )
+                refiner = RefinerConfig(file=rf_file, switch_at=switch_at)
             modes[name] = ModeConfig(
                 name=name,
                 model=model_path,
@@ -168,6 +198,7 @@ class ModeConfigManager:
                 loras=loras,
                 embeddings=embeddings,
                 controlnet=controlnet,
+                refiner=refiner,
                 defaults=dict(spec.get("defaults") or {}),
             )
 
@@ -202,6 +233,11 @@ class ModeConfigManager:
                 logger.warning(
                     "mode %s: controlnet missing: %s",
                     mode.name, mode.controlnet.file,
+                )
+            if mode.refiner and not os.path.exists(mode.refiner.file):
+                logger.warning(
+                    "mode %s: refiner missing: %s",
+                    mode.name, mode.refiner.file,
                 )
 
     # ------------------------------------------------------------------
@@ -251,6 +287,11 @@ class ModeConfigManager:
                             {"file": m.controlnet.file,
                              "scale": m.controlnet.scale}
                             if m.controlnet else None
+                        ),
+                        "refiner": (
+                            {"model": m.refiner.file,
+                             "switch_at": m.refiner.switch_at}
+                            if m.refiner else None
                         ),
                         "defaults": m.defaults,
                     }

@@ -101,12 +101,22 @@ class TPUPipelineWorker:
         default_size: Tuple[int, int] = (512, 512),
         warmup: bool = False,
         controlnet_scale: float = 1.0,
+        refiner: Optional[LCMPipeline] = None,
+        refiner_switch_at: float = 0.8,
     ):
         self.pipeline = pipeline
         self.worker_id = worker_id
         # mode-default ControlNet conditioning scale (modes.yaml
         # controlnet.scale); per-request controlnet_scale overrides it
         self.controlnet_scale = controlnet_scale
+        # SDXL base→refiner ensemble (diffusers denoising_end/start):
+        # the base runs steps [0, k), hands its scan-carry latent to the
+        # refiner ON DEVICE, and the refiner runs [k, S) + decode
+        self.refiner = refiner
+        self.refiner_switch_at = refiner_switch_at
+        # ensemble requests run solo: the coalescing path drives one
+        # pipeline with explicit noise and would bypass the handoff
+        self.supports_batching = refiner is None
         self.styles = dict(styles or {})
         self._style_cache: Dict[str, object] = {}  # path -> LoRATensors
         self._base_unet_params = pipeline.unet_params
@@ -174,22 +184,50 @@ class TPUPipelineWorker:
                     else self.controlnet_scale
                 ),
             )
+        common = dict(
+            height=height,
+            width=width,
+            num_inference_steps=spec.num_inference_steps,
+            original_inference_steps=spec.original_inference_steps,
+            guidance_scale=spec.guidance_scale,
+            negative_prompt=spec.negative_prompt,
+            seed=seed,
+        )
         with self._lock:
             self._apply_style(spec.style, spec.style_level)
             try:
-                res = self.pipeline.generate(
-                    spec.prompt,
-                    height=height,
-                    width=width,
-                    num_inference_steps=spec.num_inference_steps,
-                    original_inference_steps=spec.original_inference_steps,
-                    guidance_scale=spec.guidance_scale,
-                    negative_prompt=spec.negative_prompt,
-                    seed=seed,
-                    pipelined=pipelined,
-                    aesthetic_score=spec.aesthetic_score,
-                    **cb_kw,
-                )
+                S = spec.num_inference_steps
+                if self.refiner is not None and S >= 2:
+                    # ensemble handoff: the base's carry latent goes straight
+                    # into the refiner as a device array — zero host traffic.
+                    # ControlNet hints condition the base segment; progress
+                    # callbacks ride the refiner segment.
+                    k = min(max(int(round(S * self.refiner_switch_at)), 1),
+                            S - 1)
+                    base_kw = {
+                        key: cb_kw[key]
+                        for key in ("control_image", "controlnet_scale")
+                        if key in cb_kw
+                    }
+                    ref_kw = {k2: v for k2, v in cb_kw.items()
+                              if k2 not in base_kw}
+                    base = self.pipeline.generate(
+                        spec.prompt, segment=(0, k), **common, **base_kw,
+                    )
+                    res = self.refiner.generate(
+                        spec.prompt, segment=(k, S),
+                        latents_state=base.state_device,
+                        pipelined=pipelined,
+                        aesthetic_score=spec.aesthetic_score,
+                        **common, **ref_kw,
+                    )
+                else:
+                    res = self.pipeline.generate(
+                        spec.prompt,
+                        pipelined=pipelined,
+                        aesthetic_score=spec.aesthetic_score,
+                        **common, **cb_kw,
+                    )
             finally:
                 self._apply_style(None, 0)
         return res
@@ -373,5 +411,6 @@ class TPUPipelineWorker:
     # ------------------------------------------------------------------
     def close(self):
         self.pipeline = None
+        self.refiner = None
         self._base_unet_params = None
         self._style_cache.clear()

@@ -114,6 +114,7 @@ def create_tpu_worker(
     loras=None,
     embeddings=None,
     controlnet=None,
+    refiner=None,
     dtype=None,
     mesh=None,
     tensor_parallel: bool = False,
@@ -126,6 +127,9 @@ def create_tpu_worker(
     loaded weights before the worker snapshots its style baseline.
     controlnet: optional mode ControlNet config ({file, scale}) attached to
     the pipeline; requests opt in per call via ``control_image``.
+    refiner: optional mode refiner config ({file, switch_at}) — loads a
+    second checkpoint and serves base→refiner ensemble requests (the
+    latent hands off on device between the two XLA programs).
     pipeline_factory: injectable for tests (returns an LCMPipeline-like).
     """
     import jax.numpy as jnp
@@ -160,6 +164,29 @@ def create_tpu_worker(
     cn_scale = 1.0
     if controlnet is not None:
         cn_scale = attach_mode_controlnet(pipeline, controlnet)
+    refiner_pipe = None
+    switch_at = 0.8
+    if refiner is not None:
+        # warn-don't-raise like LoRAs/ControlNets: a broken refiner degrades
+        # to base-only serving instead of failing the mode switch
+        try:
+            rt0 = time.time()
+            rbundle = load_pipeline(refiner.file, load_vae_encoder=True)
+            refiner_pipe = LCMPipeline(
+                rbundle, dtype=dtype or jnp.bfloat16, mesh=mesh,
+                tensor_parallel=tensor_parallel,
+            )
+            switch_at = refiner.switch_at
+            logger.info(
+                "refiner %s loaded (switch_at %.2f) in %.1fs",
+                refiner.file, switch_at, time.time() - rt0,
+            )
+        except Exception as e:
+            logger.warning(
+                "refiner %s not loaded (%s); serving base only",
+                refiner.file, e,
+            )
+            refiner_pipe = None
     logger.info(
         "worker %d: loaded %s (%s) in %.1fs",
         worker_id, model_path, arch, time.time() - t0,
@@ -169,7 +196,9 @@ def create_tpu_worker(
 
         styles = get_style_registry()
     worker = TPUPipelineWorker(pipeline, worker_id, styles=styles,
-                               controlnet_scale=cn_scale)
+                               controlnet_scale=cn_scale,
+                               refiner=refiner_pipe,
+                               refiner_switch_at=switch_at)
     if warmup_size:
         w, h = warmup_size
         pipeline.warmup(h, w)

@@ -153,12 +153,12 @@ class WorkerPool:
     # ------------------------------------------------------------------
     @staticmethod
     def _default_factory(worker_id: int, model_path: str, *, loras=None,
-                         embeddings=None, controlnet=None):
+                         embeddings=None, controlnet=None, refiner=None):
         from .worker_factory import create_tpu_worker
 
         return create_tpu_worker(
             worker_id, model_path, loras=loras, embeddings=embeddings,
-            controlnet=controlnet,
+            controlnet=controlnet, refiner=refiner,
         )
 
     def _load_mode(self, mode_name: str):
@@ -233,6 +233,8 @@ class WorkerPool:
             kwargs["embeddings"] = mode.embeddings
         if getattr(mode, "controlnet", None) and accepts("controlnet"):
             kwargs["controlnet"] = mode.controlnet
+        if getattr(mode, "refiner", None) and accepts("refiner"):
+            kwargs["refiner"] = mode.refiner
         worker = self._factory(0, mode.model, **kwargs) if kwargs \
             else self._factory(0, mode.model)
         # pre-compile the mode's default bucket so the first request after a
@@ -269,6 +271,7 @@ class WorkerPool:
     @staticmethod
     def _mode_signature(mode) -> tuple:
         cn = getattr(mode, "controlnet", None)
+        rf = getattr(mode, "refiner", None)
         return (
             mode.model,
             tuple((l.file, l.strength) for l in (mode.loras or [])),
@@ -277,6 +280,7 @@ class WorkerPool:
                 for e in (getattr(mode, "embeddings", None) or [])
             ),
             (cn.file, cn.scale) if cn else None,
+            (rf.file, rf.switch_at) if rf else None,
         )
 
     def _pop_lru_locked(self):
@@ -355,6 +359,9 @@ class WorkerPool:
             and self.max_batch > 1
             and hasattr(self.worker, "run_jobs")
             and hasattr(self.worker, "batchable")
+            # ensemble (base→refiner) workers serve solo: coalescing drives
+            # one pipeline with explicit noise and would bypass the handoff
+            and getattr(self.worker, "supports_batching", True)
         )
 
     def _collect_batch(

@@ -45,6 +45,7 @@ from .scheduler.lcm import (
     guidance_scale_embedding,
     lcm_step,
     make_lcm_schedule,
+    slice_schedule,
 )
 
 logger = logging.getLogger(__name__)
@@ -63,6 +64,9 @@ class GenerationResult:
     seed: int
     timings: Dict[str, float]
     latents_device: Any = None  # [B, h, w, 4] fp32 device array
+    # scan-carry latent state after a partial segment (ensemble base →
+    # refiner handoff); stays on device, never round-trips through host
+    state_device: Any = None
 
     _latents_np: Optional[np.ndarray] = dataclasses.field(
         default=None, repr=False
@@ -438,10 +442,15 @@ class LCMPipeline:
                     )
                 return (i + 1, lat), denoised
 
-            (_, _), denoised_seq = jax.lax.scan(
+            (_, lat_final), denoised_seq = jax.lax.scan(
                 body, (jnp.int32(0), latents0), noises
             )
             denoised = denoised_seq[-1]
+            if task == "latent":
+                # ensemble base segment: hand the scan carry (the renoised
+                # state entering the next segment) to the refiner — no VAE,
+                # no d2h; the latent stays on device across the handoff
+                return lat_final, denoised
             if inpaint is not None:
                 known_x0, mask, _ = inpaint
                 denoised = mask * denoised + (1.0 - mask) * known_x0
@@ -615,6 +624,8 @@ class LCMPipeline:
         callback_latents: bool = True,
         control_image: Optional[np.ndarray] = None,
         controlnet_scale: float = 1.0,
+        segment: Optional[Tuple[int, int]] = None,
+        latents_state: Optional[Any] = None,
     ) -> GenerationResult:
         """Generate images. Returns uint8 [B, H, W, 3] + final latents.
 
@@ -637,6 +648,17 @@ class LCMPipeline:
         prepare_controlnet_cond contract, rknnlcm.py:693-697). Requires a
         ControlNet attached via ``set_controlnet``; ``controlnet_scale``
         scales the residual taps (diffusers conditioning_scale semantics).
+
+        segment: run only steps [start, stop) of the num_inference_steps
+        ladder — the diffusers denoising_end/denoising_start ensemble
+        contract (SDXL base → refiner handoff). A segment ending before the
+        ladder's end returns the scan-carry latent state in
+        ``result.state_device`` (no VAE decode, no d2h); a segment starting
+        after 0 requires ``latents_state`` (the previous segment's
+        ``state_device`` — a device array; it is donated to the program).
+        Step noises for the segment come from the same seed stream a full
+        run would use, so base[:k] + refiner[k:] traverse the exact ladder
+        a single S-step run on one model would.
         """
         # latents must survive every UNet downsample without odd dims
         divisor = self.vae_scale * 2 ** (self.bundle.unet_cfg.num_blocks - 1)
@@ -678,16 +700,45 @@ class LCMPipeline:
         else:
             ids_2 = ids_2_neg = ids
 
+        seg_start, seg_stop = segment or (0, num_inference_steps)
+        if segment is not None:
+            if not 0 <= seg_start < seg_stop <= num_inference_steps:
+                raise ValueError(
+                    f"segment {segment} out of range for "
+                    f"{num_inference_steps} steps"
+                )
+            if (seg_start > 0) != (latents_state is not None):
+                raise ValueError(
+                    "segments starting after 0 require latents_state (and "
+                    "only they may pass one)"
+                )
+            if latents is not None or step_noises is not None:
+                raise ValueError(
+                    "segment is incompatible with explicit latents/step_noises"
+                )
+        scan_steps = seg_stop - seg_start
+        task = "latent" if seg_stop < num_inference_steps else "txt2img"
+
         schedule = self._schedule(num_inference_steps, original_inference_steps)
+        if segment is not None:
+            schedule = slice_schedule(schedule, seg_start, seg_stop)
         h_lat, w_lat = height // self.vae_scale, width // self.vae_scale
         rng_mode = rng or os.environ.get("DREAMLAB_RNG", "host")
-        if latents is not None or step_noises is not None:
-            rng_mode = "host"  # explicit noise forces the host path
+        if latents is not None or step_noises is not None or segment is not None:
+            rng_mode = "host"  # explicit noise / segments force the host path
         if rng_mode == "host":
             lat0, noises = self._sample_noise(
                 seed, bsz, h_lat, w_lat, num_inference_steps,
                 schedule.init_noise_sigma,
             )
+            # segment noise comes from the same stream a full run draws
+            noises = noises[seg_start:seg_stop]
+            if latents_state is not None:
+                lat0 = latents_state  # device fp32 carry from the previous segment
+                if tuple(lat0.shape) != (bsz, h_lat, w_lat, self.latent_channels):
+                    raise ValueError(
+                        f"unexpected latents_state shape {lat0.shape}"
+                    )
             if latents is not None:
                 # provided latents are raw noise; scale by init sigma exactly
                 # as the reference does (rknnlcm.py:444-447)
@@ -778,8 +829,8 @@ class LCMPipeline:
                 self._progress_registry[token] = (callback, max(1, callback_steps))
 
         fn = self._get_compiled(
-            bsz, h_lat, w_lat, num_inference_steps, cfg_mode, rng_mode,
-            progress=progress_mode, ctrl=hint is not None,
+            bsz, h_lat, w_lat, scan_steps, cfg_mode, rng_mode,
+            task=task, progress=progress_mode, ctrl=hint is not None,
         )
         try:
             args = [
@@ -797,14 +848,19 @@ class LCMPipeline:
                     cn_params=self.controlnet_params, hint=hint,
                     ctrl_scale=jnp.float32(controlnet_scale),
                 )
-            img_u8, denoised = fn(*args, **kw)
-            # pipelined: return the in-flight device arrays — the caller
-            # overlaps the next request's dispatch/compute with this one's
-            # d2h (wait())
-            images = (
-                img_u8 if pipelined
-                else np.asarray(jax.block_until_ready(img_u8))
-            )
+            out_main, denoised = fn(*args, **kw)
+            if task == "latent":
+                # ensemble base segment: out_main is the fp32 scan carry —
+                # leave it on device for the refiner segment
+                images = None
+            else:
+                # pipelined: return the in-flight device arrays — the caller
+                # overlaps the next request's dispatch/compute with this
+                # one's d2h (wait())
+                images = (
+                    out_main if pipelined
+                    else np.asarray(jax.block_until_ready(out_main))
+                )
         finally:
             if progress_mode != "none":
                 jax.effects_barrier()  # flush pending debug callbacks
@@ -816,6 +872,7 @@ class LCMPipeline:
             images=images,
             seed=seed,
             latents_device=denoised,
+            state_device=out_main if task == "latent" else None,
             timings={
                 "prep": t_prep - t_start,
                 "device": t_done - t_prep,

@@ -220,6 +220,32 @@ def make_lcm_schedule(
     )
 
 
+def slice_schedule(schedule: LCMSchedule, start: int, stop: int) -> LCMSchedule:
+    """A contiguous segment of a schedule — the diffusers
+    ``denoising_end``/``denoising_start`` ensemble contract (SDXL base →
+    refiner handoff) expressed on the LCM ladder.
+
+    Slicing the FULL schedule keeps the handoff exact: the base segment's
+    last step still renoises toward ``timesteps[stop]`` (its ``add_noise``
+    stays 1 and its ``*_prev`` coefficients already point into the next
+    segment), so the scan carry after ``[:k]`` is bit-identical to the state
+    a solo run would carry into step ``k``; only the final step of the full
+    ladder emits ``denoised`` unrenoised.
+    """
+    sl = lambda a: a[start:stop]
+    return LCMSchedule(
+        timesteps=sl(schedule.timesteps),
+        sqrt_alpha_prod=sl(schedule.sqrt_alpha_prod),
+        sqrt_beta_prod=sl(schedule.sqrt_beta_prod),
+        sqrt_alpha_prod_prev=sl(schedule.sqrt_alpha_prod_prev),
+        sqrt_beta_prod_prev=sl(schedule.sqrt_beta_prod_prev),
+        c_skip=sl(schedule.c_skip),
+        c_out=sl(schedule.c_out),
+        add_noise=sl(schedule.add_noise),
+        init_noise_sigma=schedule.init_noise_sigma,
+    )
+
+
 def _predict_x0(
     schedule: LCMSchedule,
     i: jnp.ndarray,
