@@ -87,34 +87,40 @@ def _child_main(argv) -> int:
     pipe = LCMPipeline(bundle, dtype=jnp.float32, mesh=mesh)
 
     batch = n_global  # one row per global device over the data axis
-    res = pipe.generate(
-        "multihost dryrun", height=32, width=32, num_inference_steps=2,
-        seed=0, batch=batch,
-    )
-    # res.images is a global array; every process sees the full value via
-    # its addressable shards + cross-host agreement check below
-    local_sum = np.float64(np.asarray(jax.device_get(
-        [s.data for s in res.images.addressable_shards][0]
-    )).sum())
+    shape = {}
+
+    def run():
+        # pipelined=True keeps images as the GLOBAL device array — a
+        # multi-controller process can only read its own shards, so the
+        # usual host materialization is done per-shard below
+        res = pipe.generate(
+            "multihost dryrun", height=32, width=32, num_inference_steps=2,
+            seed=0, batch=batch, pipelined=True,
+        )
+        img = jax.block_until_ready(res.images)
+        assert tuple(img.shape) == (batch, 32, 32, 3), img.shape
+        shape["images"] = tuple(img.shape)
+        shards = img.addressable_shards
+        assert len(shards) == local, (len(shards), local)
+        return np.float64(sum(
+            np.asarray(jax.device_get(s.data)).astype(np.float64).sum()
+            for s in shards
+        ))
+
+    local_sum = run()
+    # all-gather the per-process checksums over DCN — the collective itself
+    # exercises the cross-process runtime
     sums = multihost_utils.process_allgather(np.asarray([local_sum]))
     assert sums.shape[0] == n_proc
-    # per-request determinism must hold across the DCN boundary: every
-    # process computed from the same seed, so shard checksums must be
-    # consistent between repeated runs
-    res2 = pipe.generate(
-        "multihost dryrun", height=32, width=32, num_inference_steps=2,
-        seed=0, batch=batch,
-    )
-    local_sum2 = np.float64(np.asarray(jax.device_get(
-        [s.data for s in res2.images.addressable_shards][0]
-    )).sum())
-    assert local_sum == local_sum2, "multihost run not deterministic"
+    # per-request determinism must hold across the DCN boundary: repeated
+    # runs from the same seed produce identical shards on every process
+    assert run() == local_sum, "multihost run not deterministic"
 
     if pid == 0:
         print(
             f"dryrun_multihost ok: processes={n_proc} "
             f"global_devices={n_global} mesh=({n_global}x1) "
-            f"images={tuple(res.images.shape)}",
+            f"images={shape['images']}",
             flush=True,
         )
     return 0
