@@ -30,7 +30,7 @@ NEG_INF = -1e30  # finite mask value: keeps the running max finite on fully
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
-                  *, scale, kv_len, num_k_blocks):
+                  *, scale, kv_len, num_k_blocks, block_k):
     ik = pl.program_id(2)
 
     @pl.when(ik == 0)
@@ -40,22 +40,23 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     q = q_ref[0]  # [bq, 128]
-    k = k_ref[0]  # [bk=128, 128]
+    k = k_ref[0]  # [bk, 128]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [bq, 128]
+    ) * scale  # [bq, bk]
 
     if kv_len is not None:
-        col = ik * LANES + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_len, s, NEG_INF)
 
-    # running stats are stored broadcast across all 128 lanes, so the
-    # [bq, 128] scratch shapes line up elementwise with s (bk == LANES)
+    # running stats live broadcast across 128 lanes; against a wider
+    # [bq, bk] score block they enter via their first lane ([:, :1]),
+    # which the VPU broadcasts — bk is decoupled from the scratch width
     m_prev = m_scr[:]
     m_cur = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
     m_new = jnp.maximum(m_prev, m_cur)  # [bq, 128], equal lanes
     alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
+    p = jnp.exp(s - m_new[:, :1])
     l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=-1, keepdims=True)
     m_scr[:] = m_new
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
@@ -76,11 +77,24 @@ def _pad_last(x, target):
     return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q"))
-def flash_attention(q, k, v, *, scale: float, block_q: int = 512):
-    # block_q=512 measured fastest on v5e across SD shapes: 1.15x XLA at
-    # SD1.5 4096×d40 and 1.7-2.6x XLA at SDXL 16384/4096×d64
-    # (docs/PERFORMANCE.md); callers pass smaller blocks only for short N.
+def _fit_block(block: int, n: int) -> int:
+    """Largest LANES-multiple ≤ block that divides n (n is a LANES multiple)."""
+    block = min(block, n)
+    if n % block != 0:
+        block = (block // LANES) * LANES
+        while block > LANES and n % block != 0:
+            block -= LANES
+    return block
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def flash_attention(q, k, v, *, scale: float, block_q: int = 512,
+                    block_k: int = 1024):
+    # block_q=512/block_k=1024 measured fastest on v5e at SD shapes
+    # (round-3 A/B, docs/PERFORMANCE.md): widening block_k from 128 cut the
+    # grid's serial dimension 8x — per-grid-step overhead dominated at 4096
+    # tokens (19.7 -> 5.9 ms at B8/N4096/d40, 3.3x) and the old kernel was
+    # even slower than XLA's materialized softmax at batch 8.
     """[B, N, H, D] attention via the Pallas flash kernel.
 
     N must be a multiple of ``block_q``; D ≤ 128; M is padded+masked
@@ -89,18 +103,12 @@ def flash_attention(q, k, v, *, scale: float, block_q: int = 512):
     b, n, h, d = q.shape
     m = k.shape[1]
     assert d <= LANES, f"head dim {d} > {LANES}"
-    block_q = min(block_q, n)
-    if n % block_q != 0:
-        # largest multiple of LANES that divides n and is <= block_q —
-        # non-square sizes like 512x640 give n=1280 (a 128-multiple but not
-        # a 512-multiple); fall to 256 there instead of crashing at trace
-        block_q = (block_q // LANES) * LANES
-        while block_q > LANES and n % block_q != 0:
-            block_q -= LANES
+    block_q = _fit_block(block_q, n)
     assert n % block_q == 0, f"query length {n} not a multiple of {LANES}"
 
     m_pad = ((m + LANES - 1) // LANES) * LANES
     kv_len = None if m_pad == m else m
+    block_k = _fit_block(block_k, m_pad)
 
     # fold heads into batch: [B, N, H, D] -> [B*H, N, 128]
     def fold(x, length):
@@ -120,10 +128,11 @@ def flash_attention(q, k, v, *, scale: float, block_q: int = 512):
     )
 
     nq = n // block_q
-    nk = m_pad // LANES
+    nk = m_pad // block_k
 
     kernel = functools.partial(
-        _flash_kernel, scale=scale, kv_len=kv_len, num_k_blocks=nk
+        _flash_kernel, scale=scale, kv_len=kv_len, num_k_blocks=nk,
+        block_k=block_k,
     )
     out = pl.pallas_call(
         kernel,
@@ -131,8 +140,8 @@ def flash_attention(q, k, v, *, scale: float, block_q: int = 512):
         grid=(b * h, nq, nk),
         in_specs=[
             pl.BlockSpec((1, block_q, LANES), lambda ib, iq, ik: (ib, iq, 0)),
-            pl.BlockSpec((1, LANES, LANES), lambda ib, iq, ik: (ib, ik, 0)),
-            pl.BlockSpec((1, LANES, LANES), lambda ib, iq, ik: (ib, ik, 0)),
+            pl.BlockSpec((1, block_k, LANES), lambda ib, iq, ik: (ib, ik, 0)),
+            pl.BlockSpec((1, block_k, LANES), lambda ib, iq, ik: (ib, ik, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, LANES), lambda ib, iq, ik: (ib, iq, 0)),
         scratch_shapes=[

@@ -932,13 +932,19 @@ class LCMPipeline:
                 (self.vae_params, lat),
             ),
         }
+        def settle(x):
+            # scalar d2h: through the remote-TPU tunnel block_until_ready
+            # alone does not wait for completion (CLAUDE.md gotcha)
+            leaf = jax.tree_util.tree_leaves(x)[0]
+            return float(jnp.sum(leaf.astype(jnp.float32)))
+
         out: Dict[str, float] = {}
         for name, (fn, args) in stages.items():
-            jax.block_until_ready(fn(*args))  # compile
+            settle(fn(*args))  # compile
             t0 = time.time()
             for _ in range(iters):
                 r = fn(*args)
-            jax.block_until_ready(r)
+            settle(r)
             out[name + "_ms"] = 1e3 * (time.time() - t0) / iters
         out["denoise_loop_ms"] = out["unet_step_ms"] * steps
         return out

@@ -5,11 +5,8 @@ assert shard-level determinism and cross-host agreement
 (dreamlab_tpu/parallel/multihost.py). SURVEY §2.5: the reference has no
 distributed backend at all; this is the last parallelism axis."""
 
-import pytest
-
 from dreamlab_tpu.parallel.multihost import dryrun_multihost
 
 
-@pytest.mark.timeout(420)
 def test_dryrun_multihost_two_processes():
-    dryrun_multihost(2, local_devices=2)
+    dryrun_multihost(2, local_devices=2, timeout=300)
