@@ -156,6 +156,9 @@ class LCMPipeline:
         )
         self._compiled: Dict[Tuple, Any] = {}
         self._schedules: Dict[Tuple[int, Optional[int]], LCMSchedule] = {}
+        # device-resident schedule pytrees (request-independent per bucket;
+        # caching them skips several per-request tunnel round trips)
+        self._dev_schedules: Dict[Tuple, Any] = {}
         # per-step progress callbacks: the traced program carries only an
         # int32 token; the host-side registry maps it to the live callable,
         # so one compiled progress bucket serves every callback
@@ -251,10 +254,10 @@ class LCMPipeline:
             cond = [height, width, 0, 0, height, width]
             uncond = cond
         if cfg_mode == "cfg":
-            return jnp.asarray(
-                [[uncond] * bsz, [cond] * bsz], jnp.float32
+            return np.asarray(
+                [[uncond] * bsz, [cond] * bsz], np.float32
             )
-        return jnp.asarray([cond] * bsz, jnp.float32)
+        return np.asarray([cond] * bsz, np.float32)
 
     def _schedule(
         self, steps: int, original_steps: Optional[int], strength: float = 1.0
@@ -685,17 +688,20 @@ class LCMPipeline:
         else:
             cfg_mode = "none"
 
-        ids = jnp.asarray(b.tokenizer(prompts))
+        # tokenize on host; device staging happens in ONE grouped transfer
+        # below (through a remote tunnel every transfer pays a fixed ~30 ms
+        # round trip regardless of size — scripts/latency_probe.py)
+        ids = b.tokenizer(prompts)
         neg = negative_prompt
         negs = (
             [""] * bsz if neg is None
             else ([neg] * bsz if isinstance(neg, str) else list(neg))
         )
-        ids_neg = jnp.asarray(b.tokenizer(negs)) if cfg_mode == "cfg" else ids
+        ids_neg = b.tokenizer(negs) if cfg_mode == "cfg" else ids
         if is_xl and b.tokenizer_2 is not None:
-            ids_2 = jnp.asarray(b.tokenizer_2(prompts))
+            ids_2 = b.tokenizer_2(prompts)
             ids_2_neg = (
-                jnp.asarray(b.tokenizer_2(negs)) if cfg_mode == "cfg" else ids_2
+                b.tokenizer_2(negs) if cfg_mode == "cfg" else ids_2
             )
         else:
             ids_2 = ids_2_neg = ids
@@ -763,9 +769,11 @@ class LCMPipeline:
 
         if lcm_mode:
             w = np.full((bsz,), guidance_scale - 1.0)
-            w_emb = guidance_scale_embedding(w, b.unet_cfg.time_cond_proj_dim)
+            w_emb = np.asarray(
+                guidance_scale_embedding(w, b.unet_cfg.time_cond_proj_dim)
+            )
         else:
-            w_emb = jnp.zeros((bsz, 1), jnp.float32)
+            w_emb = np.zeros((bsz, 1), np.float32)
 
         time_ids = self._time_ids(height, width, bsz, aesthetic_score,
                                   cfg_mode=cfg_mode)
@@ -793,11 +801,26 @@ class LCMPipeline:
                 )
             if hint.shape[0] == 1 and bsz > 1:
                 hint = np.broadcast_to(hint, (bsz,) + hint.shape[1:])
-            hint = jnp.asarray(np.ascontiguousarray(hint, np.float32))
+            hint = np.ascontiguousarray(hint, np.float32)
         t_prep = time.time()
 
-        lat0 = jnp.asarray(lat0)
-        noises = jnp.asarray(noises)
+        # ---- device staging: ONE grouped device_put for every per-request
+        # tensor (the tunnel charges a fixed per-transfer round trip, so
+        # grouped staging is ~35% cheaper than per-array jnp.asarray —
+        # scripts/latency_probe2.py), plus a device-resident cache for the
+        # request-independent schedule pytree.
+        stage = {
+            "ids": ids, "ids_neg": ids_neg,
+            "ids_2": ids_2, "ids_2_neg": ids_2_neg,
+            "lat0": lat0, "noises": noises, "w_emb": w_emb,
+            "gs": np.float32(guidance_scale), "time_ids": time_ids,
+        }
+        if hint is not None:
+            stage["hint"] = hint
+            stage["ctrl_scale"] = np.float32(controlnet_scale)
+        sched_key = (num_inference_steps, original_inference_steps,
+                     seg_start, seg_stop)
+        schedule_dev = self._dev_schedules.get(sched_key)
         if self.mesh is not None:
             from .parallel.sharding import data_sharding, replicated
 
@@ -807,17 +830,27 @@ class LCMPipeline:
             # set DREAMLAB_MAX_BATCH to a mesh multiple for the fast path
             n_data = self.mesh.shape.get("data", 1)
             shard_batch = bsz % n_data == 0
-            ds = lambda x, axis=0: jax.device_put(
-                x,
+            sh = lambda x, axis=0: (
                 data_sharding(self.mesh, np.ndim(x), axis)
-                if (np.ndim(x) and shard_batch) else rep,
+                if (np.ndim(x) and shard_batch) else rep
             )
-            ids, ids_neg, ids_2, ids_2_neg = map(ds, (ids, ids_neg, ids_2, ids_2_neg))
-            lat0, w_emb, time_ids = map(ds, (lat0, w_emb, time_ids))
-            noises = ds(noises, 1)
-            if hint is not None:
-                hint = ds(hint)
-            schedule = jax.device_put(schedule, rep)
+            shardings = {k: sh(v) for k, v in stage.items()}
+            shardings["noises"] = sh(stage["noises"], 1)
+            stage = jax.device_put(stage, shardings)
+            if schedule_dev is None:
+                schedule_dev = jax.device_put(schedule, rep)
+                self._dev_schedules[sched_key] = schedule_dev
+        else:
+            stage = jax.device_put(stage, self.device)
+            if schedule_dev is None:
+                schedule_dev = jax.device_put(schedule, self.device)
+                self._dev_schedules[sched_key] = schedule_dev
+        ids, ids_neg = stage["ids"], stage["ids_neg"]
+        ids_2, ids_2_neg = stage["ids_2"], stage["ids_2_neg"]
+        lat0, noises, w_emb = stage["lat0"], stage["noises"], stage["w_emb"]
+        time_ids = stage["time_ids"]
+        hint = stage.get("hint")
+        schedule = schedule_dev
 
         progress_mode = "none"
         token = 0
@@ -838,7 +871,7 @@ class LCMPipeline:
                 self.vae_params,
                 ids, ids_neg, ids_2, ids_2_neg,
                 lat0, noises, schedule, w_emb,
-                jnp.float32(guidance_scale), time_ids,
+                stage["gs"], time_ids,
             ]
             kw = {}
             if progress_mode != "none":
@@ -846,7 +879,7 @@ class LCMPipeline:
             if hint is not None:
                 kw.update(
                     cn_params=self.controlnet_params, hint=hint,
-                    ctrl_scale=jnp.float32(controlnet_scale),
+                    ctrl_scale=stage["ctrl_scale"],
                 )
             out_main, denoised = fn(*args, **kw)
             if task == "latent":
@@ -854,6 +887,14 @@ class LCMPipeline:
                 # leave it on device for the refiner segment
                 images = None
             else:
+                # enqueue the image d2h NOW, while compute is still running:
+                # the transfer starts the moment the program retires instead
+                # of after a host "is it done?" round trip (~25 ms saved
+                # through the tunnel — scripts/latency_probe2.py)
+                try:
+                    out_main.copy_to_host_async()
+                except AttributeError:
+                    pass  # non-jax array (tests stub the program)
                 # pipelined: return the in-flight device arrays — the caller
                 # overlaps the next request's dispatch/compute with this
                 # one's d2h (wait())
@@ -1012,13 +1053,13 @@ class LCMPipeline:
         cfg_mode = (
             "wcond" if lcm_mode else ("cfg" if guidance_scale > 1.0 else "none")
         )
-        ids = jnp.asarray(b.tokenizer(prompts))
+        ids = b.tokenizer(prompts)
         negs = [negative_prompt or ""] * bsz
-        ids_neg = jnp.asarray(b.tokenizer(negs)) if cfg_mode == "cfg" else ids
+        ids_neg = b.tokenizer(negs) if cfg_mode == "cfg" else ids
         if self.arch == "sdxl" and b.tokenizer_2 is not None:
-            ids_2 = jnp.asarray(b.tokenizer_2(prompts))
+            ids_2 = b.tokenizer_2(prompts)
             ids_2_neg = (
-                jnp.asarray(b.tokenizer_2(negs)) if cfg_mode == "cfg" else ids_2
+                b.tokenizer_2(negs) if cfg_mode == "cfg" else ids_2
             )
         else:
             ids_2 = ids_2_neg = ids
@@ -1063,12 +1104,12 @@ class LCMPipeline:
             )
 
         if lcm_mode:
-            w_emb = guidance_scale_embedding(
+            w_emb = np.asarray(guidance_scale_embedding(
                 np.full((bsz,), guidance_scale - 1.0),
                 b.unet_cfg.time_cond_proj_dim,
-            )
+            ))
         else:
-            w_emb = jnp.zeros((bsz, 1), jnp.float32)
+            w_emb = np.zeros((bsz, 1), np.float32)
         time_ids = self._time_ids(height, width, bsz, aesthetic_score,
                                   cfg_mode=cfg_mode)
         t_prep = time.time()
@@ -1076,33 +1117,55 @@ class LCMPipeline:
         fn = self._get_compiled(
             bsz, h_lat, w_lat, num_inference_steps, cfg_mode, "host", task
         )
+        # single grouped h2d + device-cached schedule (same tunnel round-trip
+        # economics as generate(); scripts/latency_probe2.py)
+        stage = {
+            "ids": ids, "ids_neg": ids_neg,
+            "ids_2": ids_2, "ids_2_neg": ids_2_neg,
+            "image": np.ascontiguousarray(image_f),
+            "eps_post": np.ascontiguousarray(eps_post),
+            "noise0": np.ascontiguousarray(noise0),
+            "noises": np.ascontiguousarray(noises),
+            "w_emb": w_emb, "gs": np.float32(guidance_scale),
+            "time_ids": time_ids,
+        }
+        if task == "inpaint":
+            stage["mask_lat"] = np.ascontiguousarray(mask_lat)
+            stage["noises_known"] = np.ascontiguousarray(noises_known)
+        stage = jax.device_put(stage, self.device)
+        sched_key = ("strength", num_inference_steps,
+                     original_inference_steps, strength)
+        schedule_dev = self._dev_schedules.get(sched_key)
+        if schedule_dev is None:
+            schedule_dev = jax.device_put(schedule, self.device)
+            self._dev_schedules[sched_key] = schedule_dev
+
         common = (
             self.text_params, self.text_params_2, self.unet_params,
             self.vae_params, self.vae_encoder_params,
-            ids, ids_neg, ids_2, ids_2_neg,
-            jnp.asarray(np.ascontiguousarray(image_f)),
+            stage["ids"], stage["ids_neg"], stage["ids_2"],
+            stage["ids_2_neg"], stage["image"],
         )
         tail = (
-            schedule, w_emb, jnp.float32(guidance_scale), time_ids,
+            schedule_dev, stage["w_emb"], stage["gs"], stage["time_ids"],
         )
         if task == "inpaint":
             img_u8, denoised = fn(
                 *common,
-                jnp.asarray(mask_lat),
-                jnp.asarray(np.ascontiguousarray(eps_post)),
-                jnp.asarray(np.ascontiguousarray(noise0)),
-                jnp.asarray(np.ascontiguousarray(noises)),
-                jnp.asarray(np.ascontiguousarray(noises_known)),
+                stage["mask_lat"], stage["eps_post"], stage["noise0"],
+                stage["noises"], stage["noises_known"],
                 *tail,
             )
         else:
             img_u8, denoised = fn(
                 *common,
-                jnp.asarray(np.ascontiguousarray(eps_post)),
-                jnp.asarray(np.ascontiguousarray(noise0)),
-                jnp.asarray(np.ascontiguousarray(noises)),
+                stage["eps_post"], stage["noise0"], stage["noises"],
                 *tail,
             )
+        try:
+            img_u8.copy_to_host_async()
+        except AttributeError:
+            pass
         images = np.asarray(jax.block_until_ready(img_u8))
         t_done = time.time()
         return GenerationResult(
