@@ -54,6 +54,37 @@ logger = logging.getLogger(__name__)
 _SDXL_DEFAULT_TIME_IDS = (1024, 1024, 0, 0, 1024, 1024)
 
 
+def _dedupe_stage(stage: dict):
+    """Split a host staging dict into (unique-arrays dict, alias map).
+
+    Entries that are the *same object* (e.g. ids_neg aliasing ids when CFG
+    is off) transfer once; callers re-point the aliases at the staged device
+    array afterwards. Alias targets get identical shardings anyway (sharding
+    depends only on rank, and the axis-1 'noises' entry never aliases).
+    """
+    unique: dict = {}
+    aliases: dict = {}
+    by_id: dict = {}
+    for k, v in stage.items():
+        src = by_id.get(id(v))
+        if src is None:
+            by_id[id(v)] = k
+            unique[k] = v
+        else:
+            aliases[k] = src
+    return unique, aliases
+
+
+def _cache_put(d: dict, key, value, cap: int = 64):
+    """Insert with drop-oldest eviction: schedule caches are keyed on
+    user-supplied floats (strength, step counts), so a long-running server
+    must not grow them unboundedly (entries are small, but device-resident
+    ones pin HBM)."""
+    if len(d) >= cap and key not in d:
+        d.pop(next(iter(d)))
+    d[key] = value
+
+
 @dataclasses.dataclass
 class GenerationResult:
     """images materialize on construction (or on .wait() in pipelined mode);
@@ -264,9 +295,9 @@ class LCMPipeline:
     ) -> LCMSchedule:
         key = (steps, original_steps, strength)
         if key not in self._schedules:
-            self._schedules[key] = make_lcm_schedule(
+            _cache_put(self._schedules, key, make_lcm_schedule(
                 self.bundle.scheduler_cfg, steps, original_steps, strength
-            )
+            ))
         return self._schedules[key]
 
     def _sample_noise(
@@ -818,6 +849,10 @@ class LCMPipeline:
         if hint is not None:
             stage["hint"] = hint
             stage["ctrl_scale"] = np.float32(controlnet_scale)
+        # cfg-off (and SD1.5) requests alias ids_neg/ids_2/ids_2_neg to the
+        # same array as ids — upload each distinct buffer once and re-alias
+        # the device array, instead of paying the tunnel for 4 copies
+        stage, aliases = _dedupe_stage(stage)
         sched_key = (num_inference_steps, original_inference_steps,
                      seg_start, seg_stop)
         schedule_dev = self._dev_schedules.get(sched_key)
@@ -839,12 +874,14 @@ class LCMPipeline:
             stage = jax.device_put(stage, shardings)
             if schedule_dev is None:
                 schedule_dev = jax.device_put(schedule, rep)
-                self._dev_schedules[sched_key] = schedule_dev
+                _cache_put(self._dev_schedules, sched_key, schedule_dev)
         else:
             stage = jax.device_put(stage, self.device)
             if schedule_dev is None:
                 schedule_dev = jax.device_put(schedule, self.device)
-                self._dev_schedules[sched_key] = schedule_dev
+                _cache_put(self._dev_schedules, sched_key, schedule_dev)
+        for k_alias, k_src in aliases.items():
+            stage[k_alias] = stage[k_src]
         ids, ids_neg = stage["ids"], stage["ids_neg"]
         ids_2, ids_2_neg = stage["ids_2"], stage["ids_2_neg"]
         lat0, noises, w_emb = stage["lat0"], stage["noises"], stage["w_emb"]
@@ -1132,13 +1169,16 @@ class LCMPipeline:
         if task == "inpaint":
             stage["mask_lat"] = np.ascontiguousarray(mask_lat)
             stage["noises_known"] = np.ascontiguousarray(noises_known)
+        stage, aliases = _dedupe_stage(stage)
         stage = jax.device_put(stage, self.device)
+        for k_alias, k_src in aliases.items():
+            stage[k_alias] = stage[k_src]
         sched_key = ("strength", num_inference_steps,
                      original_inference_steps, strength)
         schedule_dev = self._dev_schedules.get(sched_key)
         if schedule_dev is None:
             schedule_dev = jax.device_put(schedule, self.device)
-            self._dev_schedules[sched_key] = schedule_dev
+            _cache_put(self._dev_schedules, sched_key, schedule_dev)
 
         common = (
             self.text_params, self.text_params_2, self.unet_params,

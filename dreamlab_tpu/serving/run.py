@@ -80,7 +80,11 @@ def _supervise(cmd=None, roots=None, poll_s: float = 1.0) -> int:
                     break
         except KeyboardInterrupt:
             child.terminate()
-            child.wait(timeout=10)
+            try:
+                child.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                child.kill()
+                child.wait()
             return 0
         child.send_signal(signal.SIGTERM)
         try:
