@@ -1,85 +1,301 @@
-"""Headline benchmark: SD1.5 512×512 4-step LCM images/sec on one TPU chip.
+"""Headline benchmark: SD1.5 512×512 4-step LCM images/sec on one TPU chip,
+plus an SDXL 1024² section (time-budget gated).
 
-Runs the full serving path (tokenize → host noise → jitted encode/denoise/
+Runs the full serving path (tokenize → host staging → jitted encode/denoise/
 decode → uint8 back to host) on the real architecture with random weights
 (performance is weight-value independent; no checkpoints ship in this
 environment).
 
-Baseline: the reference's best published number for the same workload is
-2–5 s/image on an RTX 3090 (CUDA backend, /root/reference/README.md:377);
-midpoint 3.5 s → 0.286 images/sec. The RK3588 NPU backend's derived number
-is ≈35 s/image (README.md:384-388).
+Variance controls (round 4 — the r3 driver number regressed 14.2 → 10.95
+while builder-side runs measured 18.2, and nothing in the old single-pass
+bench could say why):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+- every throughput/latency figure is the MEDIAN of ≥3 repetitions, with the
+  per-rep values in the JSON;
+- a COMPUTE-ONLY throughput (all rounds queued, one sync, no per-round image
+  d2h) is reported next to end-to-end — when the tunnel's d2h bandwidth
+  degrades, e2e falls but compute-only holds, which localises the gap;
+- tunnel weather is measured directly (h2d/d2h MB/s on a fixed 6 MB buffer,
+  sync round-trip ms) and recorded;
+- the flash kernel is asserted live (trace-time counter in ops/attention.py)
+  and every compile logs its wall time + how many new persistent-cache
+  entries it wrote (0 new entries == cache hit).
+
+Baselines (/root/reference/README.md:377-388): SD1.5 on RTX 3090 CUDA is
+2–5 s/image (midpoint 3.5 s → 0.286 img/s); SDXL on the 3090 is 8–15 s/image
+(midpoint 11.5 s). The RK3588 NPU backend is ≈35 s/image.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import os
+import statistics
 import sys
 import time
 
-BASELINE_IMAGES_PER_SEC = 1.0 / 3.5  # reference CUDA midpoint
+BASELINE_IMAGES_PER_SEC = 1.0 / 3.5  # reference CUDA midpoint, SD1.5
+SDXL_BASELINE_S_PER_IMG = 11.5       # reference CUDA midpoint, SDXL
+
+
+def _log(msg: str) -> None:
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def _sync(x) -> None:
+    """Force remote completion: through the axon tunnel block_until_ready
+    returns before the remote program retires — only a d2h read truly
+    synchronises (CLAUDE.md gotcha)."""
+    import numpy as np
+
+    np.asarray(x).reshape(-1)[:1]
+
+
+class CacheWatch:
+    """Detects persistent-compile-cache hits: a compile that writes no new
+    cache entries loaded its executable from disk."""
+
+    def __init__(self, cache_dir):
+        self.dir = cache_dir
+        self.compiles = []
+
+    def _entries(self) -> int:
+        try:
+            return len(os.listdir(self.dir))
+        except (OSError, TypeError):
+            return -1
+
+    def timed(self, name, fn):
+        before = self._entries()
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        wrote = self._entries() - before if before >= 0 else -1
+        rec = {"name": name, "seconds": round(dt, 1),
+               "new_cache_entries": wrote,
+               "cache_hit": bool(wrote == 0)}
+        self.compiles.append(rec)
+        _log(f"compile {name}: {dt:.1f}s "
+             f"({'cache HIT' if wrote == 0 else f'{wrote} new cache entries'})")
+        return out
+
+
+def _tunnel_weather():
+    """Measure the tunnel directly: sync round-trip and h2d/d2h bandwidth on
+    a 6 MB buffer (the size of one batch-8 uint8 image fetch)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    buf = np.zeros((8, 512, 512, 3), np.uint8)
+    t0 = time.time()
+    dbuf = jax.device_put(buf, dev)
+    _sync(dbuf[:1, :1, :1, :1])
+    h2d_s = time.time() - t0
+    t0 = time.time()
+    np.asarray(dbuf)
+    d2h_s = time.time() - t0
+    one = jax.device_put(jnp.zeros((), jnp.float32), dev)
+    t0 = time.time()
+    for _ in range(5):
+        np.asarray(one)
+    rt_ms = (time.time() - t0) / 5 * 1e3
+    mb = buf.nbytes / 1e6
+    weather = {
+        "h2d_mb_s": round(mb / max(h2d_s, 1e-9), 1),
+        "d2h_mb_s": round(mb / max(d2h_s, 1e-9), 1),
+        "sync_roundtrip_ms": round(rt_ms, 1),
+    }
+    _log(f"tunnel: h2d {weather['h2d_mb_s']} MB/s, "
+         f"d2h {weather['d2h_mb_s']} MB/s, sync {rt_ms:.0f} ms")
+    return weather
+
+
+def _median(xs):
+    return statistics.median(xs)
+
+
+TINY = os.environ.get("DREAMLAB_BENCH_TINY") == "1"  # CPU smoke test only
+
+
+def bench_sd15(watch, budget):
+    from dreamlab_tpu.ops import attention
+    from dreamlab_tpu.pipeline import LCMPipeline
+    from dreamlab_tpu.testing import random_bundle
+
+    t0 = time.time()
+    pipe = LCMPipeline(random_bundle("sd15", tiny=TINY))  # bf16, flash auto
+    _log(f"sd15 init+transfer {time.time() - t0:.1f}s")
+
+    prompt = "a photo of a cat, highly detailed"
+    size = 64 if TINY else 512
+
+    def gen(seed, batch=None, rng=None, pipelined=False):
+        return pipe.generate(
+            prompt, height=size, width=size, num_inference_steps=4,
+            seed=seed, batch=batch, rng=rng, pipelined=pipelined,
+        )
+
+    watch.timed("sd15_b1", lambda: gen(0))
+    import jax
+
+    flash = attention.FLASH_TRACE_COUNT
+    if jax.default_backend() == "tpu":
+        assert flash > 0, (
+            "flash attention kernel not traced on TPU — the headline would "
+            "silently measure the XLA fallback"
+        )
+    _log(f"flash attention sites traced: {flash}")
+
+    # p50 latency: sequential single-image requests (the serving contract),
+    # 3 reps × 10 images, per-image times pooled
+    lat_reps = []
+    for rep in range(3):
+        times = []
+        for i in range(10):
+            t0 = time.time()
+            gen(seed=rep * 100 + i)
+            times.append(1e3 * (time.time() - t0))
+        lat_reps.append(round(_median(times)))
+        _log(f"sequential latency rep {rep}: p50 {lat_reps[-1]} ms")
+    p50 = _median(lat_reps)
+
+    B, rounds = 8, 8
+    watch.timed(
+        "sd15_b8_devrng",
+        lambda: gen(0, batch=B, rng="device"),
+    )
+
+    def run_e2e():
+        """Pipelined serving: round i+1's dispatch/compute overlaps round
+        i's image d2h — the production worker-pool pattern."""
+        t0 = time.time()
+        pending = None
+        for i in range(rounds):
+            res = gen(seed=i, batch=B, rng="device", pipelined=True)
+            if pending is not None:
+                pending.wait()
+            pending = res
+        pending.wait()
+        return rounds * B / (time.time() - t0)
+
+    def run_compute_only():
+        """All rounds queued back-to-back, ONE sync at the end, no per-round
+        image d2h: measures what the chip does, independent of tunnel d2h
+        bandwidth. This is the figure a direct-attached deployment sees."""
+        t0 = time.time()
+        last = None
+        for i in range(rounds):
+            last = gen(seed=i, batch=B, rng="device", pipelined=True)
+        _sync(last.images[:1, :1, :1, :1])
+        return rounds * B / (time.time() - t0)
+
+    e2e, compute = [], []
+    for rep in range(3):
+        e2e.append(round(run_e2e(), 2))
+        compute.append(round(run_compute_only(), 2))
+        _log(f"throughput rep {rep}: e2e {e2e[-1]} img/s, "
+             f"compute-only {compute[-1]} img/s")
+
+    del pipe
+    return {
+        "img_per_s": _median(e2e),
+        "e2e_reps": e2e,
+        "compute_only_img_per_s": _median(compute),
+        "compute_only_reps": compute,
+        "p50_latency_ms": p50,
+        "p50_latency_reps": lat_reps,
+        "flash_sites_traced": flash,
+    }
+
+
+def bench_sdxl(watch, budget):
+    """SDXL 1024²: 4-step LCM-style and 30-step CFG 7.5 (batch-doubled) —
+    the BASELINE.json config the driver could never verify before r4."""
+    from dreamlab_tpu.pipeline import LCMPipeline
+    from dreamlab_tpu.testing import random_bundle
+
+    t0 = time.time()
+    pipe = LCMPipeline(random_bundle("sdxl", tiny=TINY))
+    _log(f"sdxl init+transfer {time.time() - t0:.1f}s")
+    size = 64 if TINY else 1024
+
+    def gen(steps, gs, seed):
+        return pipe.generate(
+            "a photo of a cat", height=size, width=size,
+            num_inference_steps=steps, guidance_scale=gs, seed=seed,
+        )
+
+    out = {}
+    watch.timed("sdxl_1024_4step", lambda: gen(4, 1.0, 0))
+    reps = []
+    for rep in range(3):
+        t0 = time.time()
+        for i in range(3):
+            gen(4, 1.0, rep * 10 + i)
+        reps.append(round(1e3 * (time.time() - t0) / 3))
+        _log(f"sdxl 4-step rep {rep}: {reps[-1]} ms/img")
+    out["lcm4_ms_per_img"] = _median(reps)
+    out["lcm4_reps"] = reps
+
+    if budget():
+        watch.timed("sdxl_1024_30step_cfg", lambda: gen(30, 7.5, 0))
+        reps = []
+        for rep in range(3):
+            t0 = time.time()
+            gen(30, 7.5, rep + 1)
+            reps.append(round(time.time() - t0, 2))
+            _log(f"sdxl 30-step CFG rep {rep}: {reps[-1]} s/img")
+        out["cfg30_s_per_img"] = _median(reps)
+        out["cfg30_reps"] = reps
+        out["cfg30_vs_baseline"] = round(
+            SDXL_BASELINE_S_PER_IMG / out["cfg30_s_per_img"], 2
+        )
+    else:
+        _log("budget exhausted before sdxl 30-step CFG — skipped")
+        out["cfg30_s_per_img"] = None
+    del pipe
+    return out
 
 
 def main():
-    import numpy as np
+    t_start = time.time()
+    budget_s = float(os.environ.get("DREAMLAB_BENCH_BUDGET_S", "2400"))
 
-    from dreamlab_tpu.pipeline import LCMPipeline
-    from dreamlab_tpu.testing import random_bundle
+    def budget() -> bool:
+        return time.time() - t_start < budget_s
+
     from dreamlab_tpu.utils.compile_cache import enable_compile_cache
 
-    # persistent XLA cache: repeat bench runs (and the driver) skip the
-    # ~200 s of compiles the r2 run paid every time
-    print(f"# compile cache: {enable_compile_cache()}", file=sys.stderr)
+    cache_dir = enable_compile_cache()
+    _log(f"compile cache: {cache_dir}")
+    watch = CacheWatch(cache_dir)
 
-    t0 = time.time()
-    bundle = random_bundle("sd15")
-    pipe = LCMPipeline(bundle)  # bf16, flash attention auto
-    print(f"# init+transfer {time.time() - t0:.1f}s", file=sys.stderr)
+    weather = _tunnel_weather()
+    sd15 = bench_sd15(watch, budget)
 
-    prompt = "a photo of a cat, highly detailed"
-    t0 = time.time()
-    pipe.generate("warmup", height=512, width=512, num_inference_steps=4, seed=0)
-    print(f"# compile b=1 {time.time() - t0:.1f}s", file=sys.stderr)
-
-    # p50 latency: sequential single-image requests (the serving contract)
-    n = 10
-    t0 = time.time()
-    for i in range(n):
-        pipe.generate(prompt, height=512, width=512, num_inference_steps=4, seed=i)
-    lat_ms = 1e3 * (time.time() - t0) / n
-    print(f"# sequential latency: {lat_ms:.0f} ms/img "
-          f"(target <500 ms)", file=sys.stderr)
-
-    # throughput: batched serving with on-device RNG
-    B = 8
-    t0 = time.time()
-    pipe.generate("warmup", height=512, width=512, num_inference_steps=4,
-                  seed=0, batch=B, rng="device")
-    print(f"# compile b={B} {time.time() - t0:.1f}s", file=sys.stderr)
-    # pipelined: round i+1's dispatch/compute overlaps round i's image d2h
-    # (GenerationResult.wait() materializes; latents stay on device unless
-    # a caller reads them — the fingerprint path pays that cost, not txt2img)
-    rounds = 8
-    t0 = time.time()
-    pending = None
-    for i in range(rounds):
-        res = pipe.generate(prompt, height=512, width=512,
-                            num_inference_steps=4, seed=i, batch=B,
-                            rng="device", pipelined=True)
-        if pending is not None:
-            pending.wait()
-        pending = res
-    pending.wait()
-    ips = rounds * B / (time.time() - t0)
-    print(f"# batched throughput (B={B}, pipelined): {ips:.2f} img/s",
-          file=sys.stderr)
+    sdxl = None
+    if os.environ.get("DREAMLAB_BENCH_SDXL", "1") not in ("0", "false"):
+        if budget():
+            sdxl = bench_sdxl(watch, budget)
+        else:
+            _log("budget exhausted before sdxl section — skipped")
 
     print(json.dumps({
         "metric": "sd15_512x512_4step_lcm_images_per_sec_per_chip",
-        "value": round(ips, 3),
+        "value": sd15["img_per_s"],
         "unit": "images/sec",
-        "vs_baseline": round(ips / BASELINE_IMAGES_PER_SEC, 2),
-        "p50_latency_ms": round(lat_ms),
+        "vs_baseline": round(sd15["img_per_s"] / BASELINE_IMAGES_PER_SEC, 2),
+        "p50_latency_ms": sd15["p50_latency_ms"],
+        "detail": {
+            "sd15": sd15,
+            "sdxl": sdxl,
+            "tunnel": weather,
+            "compiles": watch.compiles,
+            "total_bench_s": round(time.time() - t_start, 1),
+        },
     }))
 
 

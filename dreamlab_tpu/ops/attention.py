@@ -20,6 +20,14 @@ import jax
 import jax.numpy as jnp
 
 
+# Trace-time counters: dispatch runs in Python while a program is being
+# traced (even when the persistent compile cache skips XLA), so these count
+# how many attention sites each path bound into compiled programs. bench.py
+# asserts flash is live on TPU via FLASH_TRACE_COUNT.
+FLASH_TRACE_COUNT = 0
+XLA_TRACE_COUNT = 0
+
+
 def _xla_attention(q, k, v, scale):
     # [B, N, H, D] → scores [B, H, N, M] in fp32 for the softmax
     logits = jnp.einsum(
@@ -54,12 +62,15 @@ def dot_product_attention(
 
     impl: "auto" (flash on TPU when shapes qualify), "flash", or "xla".
     """
+    global FLASH_TRACE_COUNT, XLA_TRACE_COUNT
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    if impl == "xla":
-        return _xla_attention(q, k, v, scale)
-    if impl == "flash" or (impl == "auto" and _flash_supported(q, k)):
+    if impl != "xla" and (
+        impl == "flash" or (impl == "auto" and _flash_supported(q, k))
+    ):
         from .flash_attention import flash_attention
 
+        FLASH_TRACE_COUNT += 1
         return flash_attention(q, k, v, scale=scale)
+    XLA_TRACE_COUNT += 1
     return _xla_attention(q, k, v, scale)
