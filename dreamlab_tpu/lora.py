@@ -19,6 +19,7 @@ the text tower the same way.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 import re
 from typing import Dict, List, Optional, Tuple
@@ -178,26 +179,66 @@ def _merged_w(w, down, up, eff_scale):
     return (w.astype(jnp.float32) + eff_scale * delta).astype(w.dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("slot",))
+def _merged_w_slot(w, down, up, eff_scale, *, slot: int):
+    """Merge a delta into slot ``slot`` of a packed projection w [Cin,S,Cout]
+    (pipeline packs q/k/v at placement time — models.unet.pack_attention_params)."""
+    delta = jnp.matmul(
+        up.astype(jnp.float32), down.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).T
+    new = (w[:, slot].astype(jnp.float32) + eff_scale * delta).astype(w.dtype)
+    return w.at[:, slot].set(new)
+
+
+# packed layouts _attention accepts; maps the LoRA leaf name to its stack slot
+_PACK_SLOTS = {"qkv": {"q": 0, "k": 1, "v": 2}, "kv": {"k": 0, "v": 1}}
+
+
 def merge_lora_into_tree(params, modules, scale: float):
     """Return a new param tree with LoRA deltas merged (device compute).
 
     params structure/shapes are preserved exactly → downstream compiled
-    programs never retrace.
+    programs never retrace. Handles both the loader layout (separate q/k/v
+    linears) and the pipeline's packed layout (stacked qkv/kv projections).
     """
     if not modules or scale == 0.0:
         return params
     flat: Dict[str, object] = {}
+    packed: Dict[str, List] = {}  # packed-dict path → [(slot, down, up, eff)]
     for path, (down, up, alpha) in modules.items():
+        rank = down.shape[0]
+        eff = scale * (alpha / rank)
         try:
             target = _tree_get(params, path)
         except (KeyError, IndexError, TypeError):
-            logger.warning("lora: path %s not found in params", path)
+            # q/k/v may live inside a packed projection
+            parent_path, _, leaf = path.rpartition(".")
+            try:
+                parent = _tree_get(params, parent_path) if parent_path else {}
+            except (KeyError, IndexError, TypeError):
+                parent = {}
+            hit = None
+            for pk, slots in _PACK_SLOTS.items():
+                if isinstance(parent, dict) and pk in parent and leaf in slots:
+                    hit = (f"{parent_path}.{pk}", slots[leaf])
+                    break
+            if hit is None:
+                logger.warning("lora: path %s not found in params", path)
+                continue
+            packed.setdefault(hit[0], []).append((hit[1], down, up, eff))
             continue
-        rank = down.shape[0]
-        eff = scale * (alpha / rank)
         flat[path] = _merged_w(
             target["w"], jnp.asarray(down), jnp.asarray(up), jnp.float32(eff)
         )
+    for ppath, updates in packed.items():
+        w = _tree_get(params, ppath)["w"]
+        for slot, down, up, eff in updates:
+            w = _merged_w_slot(
+                w, jnp.asarray(down), jnp.asarray(up), jnp.float32(eff),
+                slot=slot,
+            )
+        flat[ppath] = w
 
     def rebuild(tree, prefix=""):
         if isinstance(tree, dict):

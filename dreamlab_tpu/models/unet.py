@@ -62,15 +62,49 @@ def _resnet(p, x, emb, *, groups):
     return x + h
 
 
+def _packed_proj(p, x):
+    """One matmul for S stacked projections: w [Cin, S, Cout] → [B, N, S, Cout].
+
+    XLA lowers the einsum to a single [B·N, Cin] @ [Cin, S·Cout] MXU matmul —
+    the input activations stream from HBM once instead of S times, and the
+    per-matmul launch/epilogue overhead is paid once (round-4 MFU lever,
+    docs/PERFORMANCE.md)."""
+    out = jnp.einsum(
+        "bnc,cse->bnse", x, p["w"].astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if "b" in p:
+        out = out + p["b"].astype(out.dtype)
+    return out
+
+
 def _attention(p, x, context, *, heads, impl="auto"):
     """Multi-head attention over token axis. x: [B, N, C]; context: [B, M, Cc]
-    or None for self-attention."""
+    or None for self-attention.
+
+    Accepts either the loader/init layout ({"q","k","v","out"}) or the packed
+    layout pack_attention_params produces ({"qkv"} for self-attention,
+    {"q","kv"} for cross) — the pipeline packs at weight-placement time so
+    every attention site costs one projection matmul instead of three (self)
+    or two (cross)."""
     b, n, c = x.shape
     d = c // heads
     ctx = x if context is None else context
-    q = linear(p["q"], x).reshape(b, n, heads, d)
-    k = linear(p["k"], ctx).reshape(b, ctx.shape[1], heads, d)
-    v = linear(p["v"], ctx).reshape(b, ctx.shape[1], heads, d)
+    m = ctx.shape[1]
+    if "qkv" in p:
+        qkv = _packed_proj(p["qkv"], x)  # [B, N, 3, C]
+        q = qkv[:, :, 0].reshape(b, n, heads, d)
+        k = qkv[:, :, 1].reshape(b, m, heads, d)
+        v = qkv[:, :, 2].reshape(b, m, heads, d)
+    elif "kv" in p:
+        q = linear(p["q"], x).reshape(b, n, heads, d)
+        kv = _packed_proj(p["kv"], ctx)  # [B, M, 2, C]
+        k = kv[:, :, 0].reshape(b, m, heads, d)
+        v = kv[:, :, 1].reshape(b, m, heads, d)
+    else:
+        q = linear(p["q"], x).reshape(b, n, heads, d)
+        k = linear(p["k"], ctx).reshape(b, m, heads, d)
+        v = linear(p["v"], ctx).reshape(b, m, heads, d)
     out = dot_product_attention(q, k, v, impl=impl)
     return linear(p["out"], out.reshape(b, n, c))
 
@@ -245,6 +279,59 @@ def forward(
     x = group_norm_silu(params["norm_out"], x, groups=cfg.norm_groups)
     x = conv2d(params["conv_out"], x)
     return x.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# weight packing (applied once at weight-placement time)
+# ---------------------------------------------------------------------------
+
+
+def _stack_attn(p, names):
+    """{"q","k","v"(subset)} linear dicts → one {"w":[Cin,S,Cout], "b"?} dict."""
+    xp = jnp if any(isinstance(p[n]["w"], jnp.ndarray) for n in names) else np
+    packed = {"w": xp.stack([p[n]["w"] for n in names], axis=1)}
+    if all("b" in p[n] for n in names):
+        packed["b"] = xp.stack([p[n]["b"] for n in names], axis=0)
+    return packed
+
+
+def pack_attention_params(params):
+    """Return a tree with every transformer attention's projections packed:
+    attn1 {"q","k","v"} → {"qkv": [C,3,C]}, attn2 {"k","v"} → {"kv": [Cc,2,C]}.
+
+    Self-attention is identified by *key name* (attn1/attn2), not by shape —
+    tiny test configs can have cross_attention_dim == C, which would make a
+    shape heuristic mis-pack a cross site. Non-attention leaves are shared
+    with the input tree (no copies); already-packed trees pass through.
+    The packed projection is numerically the same contraction — each output
+    column block reduces over the same axis in the same order.
+    """
+
+    def pack_attn(p, self_attn):
+        if "qkv" in p or "kv" in p or "q" not in p:
+            return p
+        if self_attn:
+            return {"qkv": _stack_attn(p, ("q", "k", "v")), "out": p["out"]}
+        return {
+            "q": p["q"],
+            "kv": _stack_attn(p, ("k", "v")),
+            "out": p["out"],
+        }
+
+    def walk(tree):
+        if isinstance(tree, dict):
+            out = {}
+            for k, v in tree.items():
+                if k in ("attn1", "attn2") and isinstance(v, dict):
+                    out[k] = pack_attn(v, self_attn=(k == "attn1"))
+                else:
+                    out[k] = walk(v)
+            return out
+        if isinstance(tree, list):
+            return [walk(v) for v in tree]
+        return tree
+
+    return walk(params)
 
 
 # ---------------------------------------------------------------------------

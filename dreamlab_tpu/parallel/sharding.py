@@ -92,6 +92,16 @@ def _tp_spec_for_path(path: str, ndim: int):
     embeddings stay replicated — channel-sharded convs would all-gather at
     every GroupNorm.
     """
+    # packed projections (pipeline packs at placement time): w [Cin, S, Cout]
+    # shards the OUTPUT features — each model shard holds its head-columns of
+    # every stacked projection, so the post-matmul q/k/v slices stay local
+    # (the Megatron head-parallel property survives packing because the stack
+    # axis is separate, not concatenated into the feature axis)
+    for tag in ("attn1.qkv", "attn2.kv"):
+        if path.endswith(tag + ".w"):
+            return P(None, None, "model")
+        if path.endswith(tag + ".b"):
+            return P(None, "model")
     col = ("attn1.q", "attn1.k", "attn1.v", "attn2.q", "attn2.k", "attn2.v")
     row = ("attn1.out", "attn2.out", "ff_out")
     for tag in col:

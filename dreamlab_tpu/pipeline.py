@@ -168,7 +168,7 @@ class LCMPipeline:
             unet_put = (
                 (lambda tree: shard_params(
                     cast_tree(tree, dtype),
-                    unet_tp_shardings(bundle.unet_params, mesh),
+                    unet_tp_shardings(tree, mesh),
                 ))
                 if tensor_parallel
                 else put
@@ -176,8 +176,13 @@ class LCMPipeline:
         else:
             put = lambda tree: jax.device_put(cast_tree(tree, dtype), self.device)
             unet_put = put
+        # pack q/k/v (self) and k/v (cross) projections into single stacked
+        # weights at placement time: one MXU matmul per attention site instead
+        # of three/two — the loaders and init keep the diffusers-shaped layout
+        from .models.unet import pack_attention_params
+
         self.text_params = put(bundle.text_params)
-        self.unet_params = unet_put(bundle.unet_params)
+        self.unet_params = unet_put(pack_attention_params(bundle.unet_params))
         self.vae_params = put(bundle.vae_params)
         self.text_params_2 = (
             put(bundle.text_params_2) if bundle.text_params_2 else None
@@ -236,6 +241,9 @@ class LCMPipeline:
                 f"ControlNet cross_attention_dim {cfg.cross_attention_dim} "
                 f"!= UNet {ucfg.cross_attention_dim}"
             )
+        from .models.unet import pack_attention_params
+
+        params = pack_attention_params(params)
         if self.mesh is not None:
             from .parallel.sharding import replicated
 
@@ -442,7 +450,9 @@ class LCMPipeline:
                         **ctrl_kw(lat2, t2, ctx2, None, kw),
                     )
                     uncond, cond = jnp.split(out, 2, axis=0)
-                    return uncond + guidance * (cond - uncond)
+                    # guidance is per-row [B] (mixed-guidance coalescing)
+                    g = guidance.reshape(-1, 1, 1, 1).astype(cond.dtype)
+                    return uncond + g * (cond - uncond)
                 return unet.forward(
                     unet_params, unet_cfg, lat, t, ctx, **added_kw,
                     **ctrl_kw(lat, t, ctx, None, added_kw),
@@ -712,9 +722,19 @@ class LCMPipeline:
         b = self.bundle
         is_xl = self.arch == "sdxl"
         lcm_mode = b.unet_cfg.time_cond_proj_dim is not None
+        # guidance_scale may be per-row (request coalescing: LCM guidance is
+        # a per-row w-embedding; classic CFG mixes per-row) — a scalar
+        # broadcasts, a sequence must match the batch
+        gs_arr = np.asarray(guidance_scale, np.float32).reshape(-1)
+        if gs_arr.size == 1:
+            gs_arr = np.full((bsz,), float(gs_arr[0]), np.float32)
+        elif gs_arr.size != bsz:
+            raise ValueError(
+                f"guidance_scale has {gs_arr.size} entries for batch {bsz}"
+            )
         if lcm_mode:
             cfg_mode = "wcond"
-        elif guidance_scale > 1.0:
+        elif float(gs_arr.max()) > 1.0:
             cfg_mode = "cfg"
         else:
             cfg_mode = "none"
@@ -799,10 +819,9 @@ class LCMPipeline:
             noises = np.float32(schedule.init_noise_sigma)
 
         if lcm_mode:
-            w = np.full((bsz,), guidance_scale - 1.0)
-            w_emb = np.asarray(
-                guidance_scale_embedding(w, b.unet_cfg.time_cond_proj_dim)
-            )
+            w_emb = np.asarray(guidance_scale_embedding(
+                gs_arr - 1.0, b.unet_cfg.time_cond_proj_dim
+            ))
         else:
             w_emb = np.zeros((bsz, 1), np.float32)
 
@@ -844,7 +863,7 @@ class LCMPipeline:
             "ids": ids, "ids_neg": ids_neg,
             "ids_2": ids_2, "ids_2_neg": ids_2_neg,
             "lat0": lat0, "noises": noises, "w_emb": w_emb,
-            "gs": np.float32(guidance_scale), "time_ids": time_ids,
+            "gs": np.ascontiguousarray(gs_arr), "time_ids": time_ids,
         }
         if hint is not None:
             stage["hint"] = hint
@@ -1087,11 +1106,23 @@ class LCMPipeline:
         b = self.bundle
         t_start = time.time()
         lcm_mode = b.unet_cfg.time_cond_proj_dim is not None
+        gs_arr = np.asarray(guidance_scale, np.float32).reshape(-1)
+        if gs_arr.size == 1:
+            gs_arr = np.full((bsz,), float(gs_arr[0]), np.float32)
+        elif gs_arr.size != bsz:
+            raise ValueError(
+                f"guidance_scale has {gs_arr.size} entries for batch {bsz}"
+            )
         cfg_mode = (
-            "wcond" if lcm_mode else ("cfg" if guidance_scale > 1.0 else "none")
+            "wcond" if lcm_mode
+            else ("cfg" if float(gs_arr.max()) > 1.0 else "none")
         )
         ids = b.tokenizer(prompts)
-        negs = [negative_prompt or ""] * bsz
+        negs = (
+            [""] * bsz if negative_prompt is None
+            else ([negative_prompt] * bsz if isinstance(negative_prompt, str)
+                  else list(negative_prompt))
+        )
         ids_neg = b.tokenizer(negs) if cfg_mode == "cfg" else ids
         if self.arch == "sdxl" and b.tokenizer_2 is not None:
             ids_2 = b.tokenizer_2(prompts)
@@ -1142,8 +1173,7 @@ class LCMPipeline:
 
         if lcm_mode:
             w_emb = np.asarray(guidance_scale_embedding(
-                np.full((bsz,), guidance_scale - 1.0),
-                b.unet_cfg.time_cond_proj_dim,
+                gs_arr - 1.0, b.unet_cfg.time_cond_proj_dim,
             ))
         else:
             w_emb = np.zeros((bsz, 1), np.float32)
@@ -1163,7 +1193,7 @@ class LCMPipeline:
             "eps_post": np.ascontiguousarray(eps_post),
             "noise0": np.ascontiguousarray(noise0),
             "noises": np.ascontiguousarray(noises),
-            "w_emb": w_emb, "gs": np.float32(guidance_scale),
+            "w_emb": w_emb, "gs": np.ascontiguousarray(gs_arr),
             "time_ids": time_ids,
         }
         if task == "inpaint":
