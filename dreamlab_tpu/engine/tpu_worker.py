@@ -307,16 +307,22 @@ class TPUPipelineWorker:
         return png, res.seed
 
     # ------------------------------------------------------------------
-    @staticmethod
-    def batchable(a: GenSpec, b: GenSpec) -> bool:
+    def batchable(self, a: GenSpec, b: GenSpec) -> bool:
         """Specs that can share one compiled call: same shape bucket,
-        schedule, guidance mode, and style."""
-        return (
+        schedule, guidance *program*, and style.
+
+        Guidance values and negative prompts coalesce per-row (round 4):
+        the compiled program takes per-row w-embeddings ([B, 256]), per-row
+        guidance ([B]) and per-row negative ids — so LCM traffic with
+        different sliders shares one batch, and classic-CFG traffic with
+        different negatives/scales does too. The only guidance boundary left
+        is the cfg/no-cfg *program* split (g=1 through the CFG mix formula
+        is not bit-equal to the cond-only program, and batching must never
+        change a request's output — CLAUDE.md invariant)."""
+        if not (
             a.size == b.size
             and a.num_inference_steps == b.num_inference_steps
             and a.original_inference_steps == b.original_inference_steps
-            and a.guidance_scale == b.guidance_scale
-            and (a.negative_prompt or "") == (b.negative_prompt or "")
             and (a.style, a.style_level) == (b.style, b.style_level)
             # progress jobs run solo: the per-request hook must see only
             # its own steps, not a coalesced batch's
@@ -326,7 +332,16 @@ class TPUPipelineWorker:
             # per-request hints and share a scale — not worth the bucket
             and a.control_image is None
             and b.control_image is None
+        ):
+            return False
+        lcm_mode = (
+            self.pipeline.bundle.unet_cfg.time_cond_proj_dim is not None
         )
+        if lcm_mode:
+            # guidance rides the per-row w-embedding; negatives are unused
+            # in LCM mode (cfg is off, ids_neg aliases ids)
+            return True
+        return (a.guidance_scale > 1.0) == (b.guidance_scale > 1.0)
 
     def run_jobs(self, specs) -> list:
         """Coalesced execution: one batched XLA call for N compatible specs.
@@ -379,8 +394,9 @@ class TPUPipelineWorker:
                     height=height, width=width,
                     num_inference_steps=steps,
                     original_inference_steps=first.original_inference_steps,
-                    guidance_scale=first.guidance_scale,
-                    negative_prompt=first.negative_prompt,
+                    # per-row guidance + negatives (mixed-slider coalescing)
+                    guidance_scale=[float(s.guidance_scale) for s in specs],
+                    negative_prompt=[s.negative_prompt or "" for s in specs],
                     seed=seeds[0],
                     latents=lat0,
                     step_noises=step_noises,

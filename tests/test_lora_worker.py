@@ -240,18 +240,70 @@ def test_run_jobs_batched_matches_solo(worker):
         assert png_b == png_s  # byte-identical: batching never changes images
 
 
-def test_batchable_predicate():
-    from dreamlab_tpu.engine.tpu_worker import TPUPipelineWorker as W
+def test_run_jobs_mixed_guidance_matches_solo(worker):
+    """Mixed sliders coalesce (round 4): per-row w-embeddings/negatives mean
+    LCM requests with different guidance scales and negative prompts share
+    one batched call — and each row is still bit-identical to its solo run."""
+    specs = [
+        GenSpec(prompt="a cat", size="32x32", num_inference_steps=2, seed=11,
+                guidance_scale=1.0),
+        GenSpec(prompt="a dog", size="32x32", num_inference_steps=2, seed=22,
+                guidance_scale=7.5, negative_prompt="blurry"),
+        GenSpec(prompt="a sunset", size="32x32", num_inference_steps=2,
+                seed=33, guidance_scale=3.0),
+    ]
+    assert all(worker.batchable(specs[0], s) for s in specs[1:])
+    solo = [worker.run_job(GenSpec(**vars(s))) for s in specs]
+    batched = worker.run_jobs(specs)
+    for (png_b, seed_b), (png_s, seed_s) in zip(batched, solo):
+        assert seed_b == seed_s
+        assert png_b == png_s  # byte-identical despite mixed guidance
+    # guidance actually bites: different w gives a different image
+    alt = worker.run_job(GenSpec(prompt="a cat", size="32x32",
+                                 num_inference_steps=2, seed=11,
+                                 guidance_scale=9.0))
+    assert alt[0] != solo[0][0]
 
+
+def test_cfg_mixed_negatives_and_scales_match_solo():
+    """Classic-CFG coalescing (non-LCM model): per-row guidance values and
+    per-row negative prompts in one batch reproduce each solo run exactly."""
+    bundle = random_bundle("sdxl", tiny=True)
+    pipe = LCMPipeline(bundle, dtype=jnp.float32)
+    worker = TPUPipelineWorker(pipe, worker_id=0)
+    specs = [
+        GenSpec(prompt="a cat", size="32x32", num_inference_steps=2, seed=1,
+                guidance_scale=7.5, negative_prompt="blurry"),
+        GenSpec(prompt="a dog", size="32x32", num_inference_steps=2, seed=2,
+                guidance_scale=3.0, negative_prompt="low quality"),
+    ]
+    assert worker.batchable(specs[0], specs[1])
+    # the cfg/no-cfg program split stays a bucket boundary
+    assert not worker.batchable(
+        specs[0],
+        GenSpec(prompt="x", size="32x32", num_inference_steps=2,
+                guidance_scale=1.0),
+    )
+    solo = [worker.run_job(GenSpec(**vars(s))) for s in specs]
+    batched = worker.run_jobs(specs)
+    for (png_b, seed_b), (png_s, seed_s) in zip(batched, solo):
+        assert seed_b == seed_s
+        assert png_b == png_s
+
+
+def test_batchable_predicate(worker):
     a = GenSpec(prompt="x", size="32x32", num_inference_steps=2)
-    assert W.batchable(a, GenSpec(prompt="y", size="32x32", num_inference_steps=2))
-    assert not W.batchable(a, GenSpec(prompt="y", size="64x64", num_inference_steps=2))
-    assert not W.batchable(a, GenSpec(prompt="y", size="32x32", num_inference_steps=4))
-    assert not W.batchable(a, GenSpec(prompt="y", size="32x32",
-                                      num_inference_steps=2, guidance_scale=3.0))
-    assert not W.batchable(a, GenSpec(prompt="y", size="32x32",
-                                      num_inference_steps=2, style="anime",
-                                      style_level=2))
+    ok = lambda **kw: worker.batchable(a, GenSpec(prompt="y", **kw))
+    assert ok(size="32x32", num_inference_steps=2)
+    assert not ok(size="64x64", num_inference_steps=2)
+    assert not ok(size="32x32", num_inference_steps=4)
+    # LCM mode: guidance rides per-row w-embeddings and negatives are unused
+    # — both coalesce (round 4; the old predicate forced batch=1 whenever
+    # sliders differed)
+    assert ok(size="32x32", num_inference_steps=2, guidance_scale=3.0)
+    assert ok(size="32x32", num_inference_steps=2, negative_prompt="blurry")
+    assert not ok(size="32x32", num_inference_steps=2, style="anime",
+                  style_level=2)
 
 
 def test_style_swap_while_batch_in_flight(tmp_path):
