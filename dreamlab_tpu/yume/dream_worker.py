@@ -165,21 +165,27 @@ class DreamWorker:
         reachable, else per-seed run_job (any PipelineWorker works)."""
         pipeline = getattr(self.worker, "pipeline", None)
         if pipeline is not None and len(seeds) > 1:
-            # batched path: same seed-noise per batch row is wrong, so run
-            # the batch as replicated prompts with the first seed and mix
-            # the rest via explicit latents sampled per-seed
+            # batched path: every row's initial latents AND per-step noises
+            # come from that candidate's own seed stream — exactly what a
+            # solo run with that seed draws, so batching never changes a
+            # candidate's image (CLAUDE.md invariant; round-4 fix — the old
+            # code pinned only the initial latents and let every row share
+            # seeds[0]'s step noise)
             w, h = map(int, self.candidate_size.split("x"))
-            s = pipeline.vae_scale
-            lat = np.stack([
-                np.random.RandomState(seed & 0x7FFFFFFF)
-                .randn(pipeline.latent_channels, h // s, w // s)
-                .astype(np.float32).transpose(1, 2, 0)
-                for seed in seeds
-            ])
+            h_lat = h // pipeline.vae_scale
+            w_lat = w // pipeline.vae_scale
+            lats, noises = [], []
+            for seed in seeds:
+                l, n = pipeline._sample_noise(
+                    seed, 1, h_lat, w_lat, self.candidate_steps, 1.0
+                )
+                lats.append(l[0])
+                noises.append(n[:, 0])
             res = pipeline.generate(
                 [prompt] * len(seeds), height=h, width=w,
                 num_inference_steps=self.candidate_steps, seed=seeds[0],
-                latents=lat,
+                latents=np.stack(lats),
+                step_noises=np.stack(noises, axis=1),
             )
             return [res.images[i] for i in range(len(seeds))]
         images = []

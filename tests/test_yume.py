@@ -11,6 +11,7 @@ import numpy as np
 import pytest
 import jax.numpy as jnp
 
+from dreamlab_tpu.engine.base import GenSpec
 from dreamlab_tpu.engine.tpu_worker import TPUPipelineWorker
 from dreamlab_tpu.invokers.jobs import (
     HARD_TIMEOUT_S,
@@ -178,6 +179,28 @@ def test_dream_session_end_to_end(gen_worker):
         return True
 
     assert asyncio.run(run())
+
+
+def test_batched_candidates_match_solo_runs(gen_worker):
+    """Batching invariance (round-4 fix): a batched candidate's image is
+    bit-identical to what a solo run_job with its seed produces — each row's
+    initial latents AND step noises come from that seed's own stream."""
+    import io
+
+    from PIL import Image
+
+    dream = DreamWorker(
+        gen_worker, scorer=AestheticScorer(), redis=None,
+        candidate_size="32x32", candidate_steps=2,
+    )
+    seeds = [101, 202, 303]
+    batched = dream._generate_candidates(seeds, "a cat")
+    for seed, img in zip(seeds, batched):
+        png, _ = gen_worker.run_job(GenSpec(
+            prompt="a cat", size="32x32", num_inference_steps=2, seed=seed,
+        ))
+        solo = np.asarray(Image.open(io.BytesIO(png)).convert("RGB"))
+        np.testing.assert_array_equal(img, solo)
 
 
 def test_dream_prompt_variations(gen_worker):
