@@ -126,11 +126,132 @@ def _child_main(argv) -> int:
     return 0
 
 
-def dryrun_multihost(
-    n_proc: int = 2, *, local_devices: int = 2, timeout: float = 600.0
-) -> None:
-    """Spawn ``n_proc`` controller processes on this machine and run one
-    DCN-spanning generation step (CPU backend; no pod required)."""
+def _router_child_main(argv) -> int:
+    """One controller of the ROUTER dryrun: process 0 runs the REAL aiohttp
+    serving stack over a RouterPipeline and drives it with real HTTP
+    requests; followers replay broadcast requests in SPMD lockstep
+    (parallel/multihost_router.py)."""
+    coordinator, n_proc, pid, local = (
+        argv[0], int(argv[1]), int(argv[2]), int(argv[3])
+    )
+    init_process(coordinator, n_proc, pid, local_devices=local)
+
+    import jax
+    import jax.numpy as jnp
+
+    from .sharding import make_mesh
+    from .multihost_router import MultihostRouter, RouterPipeline
+    from ..pipeline import LCMPipeline
+    from ..testing import random_bundle
+
+    n_global = len(jax.devices())
+    mesh = make_mesh(n_global, model=1)
+    bundle = random_bundle("sd15", tiny=True, seed=0)
+    pipe = LCMPipeline(bundle, dtype=jnp.float32, mesh=mesh)
+    router = MultihostRouter()
+    rp = RouterPipeline(pipe, router)
+
+    if pid != 0:
+        served = rp.serve_follower()
+        assert served >= 3, f"follower replayed only {served} requests"
+        return 0
+
+    # ---- process 0: the full serving stack, HTTP and all ----
+    import asyncio
+    import tempfile
+    import threading
+    import urllib.request
+
+    import yaml
+    from aiohttp import web
+
+    from ..engine.mode_config import ModeConfigManager
+    from ..engine.model_registry import ModelRegistry
+    from ..engine.tpu_worker import TPUPipelineWorker
+    from ..engine.worker_pool import WorkerPool
+    from ..serving.app import ServerConfig, create_app
+
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".yaml", delete=False
+    ) as f:
+        yaml.safe_dump({
+            "model_root": "/tmp", "default_mode": "router",
+            "modes": {"router": {"model": "a"}},
+        }, f)
+        modes_path = f.name
+    pool = WorkerPool(
+        queue_max=8,
+        worker_factory=lambda i, p: TPUPipelineWorker(rp, i),
+        mode_config=ModeConfigManager(modes_path),
+        registry=ModelRegistry(total_hbm_bytes=16 << 30),
+    )
+    app = create_app(
+        ServerConfig(default_size="32x32", default_steps=2),
+        pool=pool, skip_startup=True,
+    )
+
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+    port_box = {}
+
+    async def _serve():
+        runner = web.AppRunner(app)
+        await runner.setup()
+        site = web.TCPSite(runner, "127.0.0.1", 0)
+        await site.start()
+        port_box["port"] = site._server.sockets[0].getsockname()[1]
+        started.set()
+
+    def _loop_main():
+        asyncio.set_event_loop(loop)
+        loop.create_task(_serve())
+        loop.run_forever()
+
+    t = threading.Thread(target=_loop_main, daemon=True)
+    t.start()
+    assert started.wait(30), "HTTP server failed to start"
+    port = port_box["port"]
+
+    def post(body: bytes):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=body,
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                return resp.status, dict(resp.headers), resp.read()
+        except urllib.error.HTTPError as e:  # surface the server's reason
+            raise AssertionError(
+                f"HTTP {e.code}: {e.read(2000)!r}"
+            ) from e
+
+    body = (b'{"prompt": "router dryrun", "size": "32x32", '
+            b'"num_inference_steps": 2, "seed": 5}')
+    st1, hdr1, png1 = post(body)
+    assert st1 == 200 and png1[:8] == b"\x89PNG\r\n\x1a\n", (st1, png1[:8])
+    assert hdr1.get("X-Seed") == "5", hdr1
+    st2, _, png2 = post(body)
+    # determinism THROUGH the router: same seed, same bytes, every process
+    # having executed the same SPMD program
+    assert st2 == 200 and png2 == png1, "router serving not deterministic"
+    st3, _, png3 = post(
+        b'{"prompt": "router dryrun", "size": "32x32", '
+        b'"num_inference_steps": 2, "seed": 6}'
+    )
+    assert st3 == 200 and png3 != png1
+
+    rp.shutdown()
+    loop.call_soon_threadsafe(loop.stop)
+    print(
+        f"dryrun_router ok: processes={n_proc} global_devices={n_global} "
+        f"served=3 deterministic=True",
+        flush=True,
+    )
+    return 0
+
+
+def _spawn_controllers(mode: str, n_proc: int, local_devices: int,
+                       timeout: float, ok_marker: str) -> None:
     import socket
 
     with socket.socket() as s:
@@ -145,7 +266,7 @@ def dryrun_multihost(
         env.pop("XLA_FLAGS", None)
         procs.append(subprocess.Popen(
             [sys.executable, "-m", "dreamlab_tpu.parallel.multihost",
-             coordinator, str(n_proc), str(pid), str(local_devices)],
+             coordinator, str(n_proc), str(pid), str(local_devices), mode],
             env=env,
             stdout=subprocess.PIPE if pid == 0 else subprocess.DEVNULL,
             stderr=subprocess.STDOUT if pid == 0 else subprocess.DEVNULL,
@@ -155,12 +276,33 @@ def dryrun_multihost(
         p.wait(timeout=timeout) for p in procs[1:]
     ]
     text = out0.decode(errors="replace")
-    if any(codes) or "dryrun_multihost ok" not in text:
+    if any(codes) or ok_marker not in text:
         raise RuntimeError(
-            f"multihost dryrun failed: exit codes {codes}\n{text[-4000:]}"
+            f"multihost {mode} dryrun failed: exit codes {codes}\n{text[-4000:]}"
         )
     print(text.strip().splitlines()[-1])
 
 
+def dryrun_router(
+    n_proc: int = 2, *, local_devices: int = 2, timeout: float = 600.0
+) -> None:
+    """Spawn ``n_proc`` controllers and serve real /generate requests
+    through the global mesh (HTTP on process 0, SPMD everywhere)."""
+    _spawn_controllers("router", n_proc, local_devices, timeout,
+                       "dryrun_router ok")
+
+
+def dryrun_multihost(
+    n_proc: int = 2, *, local_devices: int = 2, timeout: float = 600.0
+) -> None:
+    """Spawn ``n_proc`` controller processes on this machine and run one
+    DCN-spanning generation step (CPU backend; no pod required)."""
+    _spawn_controllers("checksum", n_proc, local_devices, timeout,
+                       "dryrun_multihost ok")
+
+
 if __name__ == "__main__":  # child-process entry
-    sys.exit(_child_main(sys.argv[1:]))
+    _mode = sys.argv[5] if len(sys.argv) > 5 else "checksum"
+    if _mode == "router":
+        sys.exit(_router_child_main(sys.argv[1:5]))
+    sys.exit(_child_main(sys.argv[1:5]))
