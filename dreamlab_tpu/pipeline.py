@@ -203,6 +203,21 @@ class LCMPipeline:
         self._progress_lock = threading.Lock()
         self.vae_scale = bundle.vae_cfg.scale_factor
         self.latent_channels = bundle.vae_cfg.latent_channels
+        # spatially-chunked VAE decode for HBM-bound sizes (diffusers
+        # vae.enable_tiling analogue — cuda_worker.py:91,391). Latent
+        # extents ABOVE the threshold decode via vae.decode_tiled, bounding
+        # peak decoder activations by the tile instead of the frame.
+        # DREAMLAB_VAE_CHUNK: "off"/"0" disables, an int sets the latent
+        # threshold, "auto" (default) = 160 (SDXL 1024² = 128 stays
+        # full-frame; anything larger chunks). Read once at init — the
+        # chunk decision is a deterministic function of (h, w), so compile
+        # buckets need no extra key.
+        chunk_env = os.environ.get("DREAMLAB_VAE_CHUNK", "auto")
+        if chunk_env.lower() in ("0", "off", "false", "no"):
+            self._vae_chunk: Optional[int] = None
+        else:
+            self._vae_chunk = 160 if chunk_env == "auto" else int(chunk_env)
+        self._vae_tile = int(os.environ.get("DREAMLAB_VAE_TILE", "64"))
         # optional ControlNet (set_controlnet) — weights are jit arguments,
         # so swapping canny/depth/pose nets never recompiles
         self.controlnet_params = None
@@ -499,7 +514,18 @@ class LCMPipeline:
                 known_x0, mask, _ = inpaint
                 denoised = mask * denoised + (1.0 - mask) * known_x0
 
-            img = vae.decode(vae_params, vae_cfg, denoised / vae_cfg.scaling_factor)
+            if (
+                self._vae_chunk is not None
+                and max(h_lat, w_lat) > self._vae_chunk
+            ):
+                img = vae.decode_tiled(
+                    vae_params, vae_cfg, denoised / vae_cfg.scaling_factor,
+                    tile=self._vae_tile, overlap=max(self._vae_tile // 4, 1),
+                )
+            else:
+                img = vae.decode(
+                    vae_params, vae_cfg, denoised / vae_cfg.scaling_factor
+                )
             img = jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
             img_u8 = jnp.round(img * 255.0).astype(jnp.uint8)
             return img_u8, denoised
