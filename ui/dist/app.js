@@ -332,9 +332,98 @@ function pruneMessages() {
   const box = $("messages");
   while (box.children.length > MAX_MESSAGES) {
     const evicted = box.firstElementChild;
+    const h = evicted.offsetHeight;
     revokeBlobUrls(evicted);
     evicted.remove();
+    // preserve the reading position when history shrinks above the
+    // viewport (useScrollManagement's position-preservation contract)
+    if (!SCROLL.stuck) box.scrollTop = Math.max(0, box.scrollTop - h);
   }
+}
+
+// ---------------------------------------------------------------------------
+// chat scroll ergonomics — behavior rebuild of the reference's
+// useScrollManagement.js:19-121 (sticky bottom: auto-follow only while at
+// the bottom, re-stick when the user returns within 20px of it) and
+// useSnapScroll.js:13-285 (low-velocity snap of the nearest image to the
+// viewport center, ArrowUp/Down image navigation, snap-to-new near bottom)
+// against the vanilla #messages container — no React, same feel.
+// ---------------------------------------------------------------------------
+const SCROLL = { stuck: true, lastTop: 0, lastT: 0, velocity: 0, snapTimer: null };
+const BOTTOM_EPS = 20;          // within 20px counts as "at bottom"
+const SNAP_THRESHOLD = 0.3;     // of viewport height from center
+const VELOCITY_THRESHOLD = 50;  // px/s: slower than this when stopping → snap
+const SNAP_IDLE_MS = 150;
+
+function msgBox() { return $("messages"); }
+function chatAtBottom(el) {
+  return el.scrollHeight - el.scrollTop - el.clientHeight < BOTTOM_EPS;
+}
+function scrollToBottom(smooth = true) {
+  const el = msgBox();
+  el.scrollTo({ top: el.scrollHeight, behavior: smooth ? "smooth" : "auto" });
+  SCROLL.stuck = true;
+  updateJumpButton();
+}
+function chatImages() { return [...msgBox().querySelectorAll(".imgcard img")]; }
+function distanceFromCenter(el) {
+  const c = msgBox().getBoundingClientRect();
+  const r = el.getBoundingClientRect();
+  return (r.top + r.height / 2) - (c.top + c.height / 2);
+}
+function snapToImage(el, force = false) {
+  if (!el) return;
+  msgBox().scrollBy({
+    top: distanceFromCenter(el), behavior: force ? "auto" : "smooth",
+  });
+}
+function closestImage() {
+  let best = null;
+  chatImages().forEach((img, index) => {
+    const dist = Math.abs(distanceFromCenter(img));
+    if (!best || dist < best.dist) best = { el: img, dist, index };
+  });
+  return best;
+}
+function snapStep(dir) {
+  const imgs = chatImages();
+  if (!imgs.length) return;
+  const cur = closestImage();
+  const next = Math.max(0, Math.min(imgs.length - 1, (cur ? cur.index : 0) + dir));
+  SCROLL.stuck = false;
+  snapToImage(imgs[next]);
+  updateJumpButton();
+}
+function updateJumpButton() {
+  const btn = $("jump-latest");
+  if (btn) btn.hidden = SCROLL.stuck;
+}
+function initChatScroll() {
+  const el = msgBox();
+  el.addEventListener("scroll", () => {
+    const now = performance.now();
+    const dt = now - SCROLL.lastT;
+    if (dt > 0) SCROLL.velocity = (el.scrollTop - SCROLL.lastTop) / dt * 1000;
+    SCROLL.lastTop = el.scrollTop;
+    SCROLL.lastT = now;
+    SCROLL.stuck = chatAtBottom(el);
+    updateJumpButton();
+    clearTimeout(SCROLL.snapTimer);
+    SCROLL.snapTimer = setTimeout(() => {
+      if (SCROLL.stuck || Math.abs(SCROLL.velocity) >= VELOCITY_THRESHOLD) return;
+      const c = closestImage();
+      if (c && c.dist < el.clientHeight * SNAP_THRESHOLD) snapToImage(c.el);
+    }, SNAP_IDLE_MS);
+  }, { passive: true });
+  window.addEventListener("keydown", (e) => {
+    const t = e.target.tagName;
+    if (t === "INPUT" || t === "TEXTAREA" || t === "SELECT") return;
+    if (e.key === "ArrowDown") { e.preventDefault(); snapStep(1); }
+    else if (e.key === "ArrowUp") { e.preventDefault(); snapStep(-1); }
+  });
+  const btn = $("jump-latest");
+  if (btn) btn.onclick = () => scrollToBottom(true);
+  updateJumpButton();
 }
 
 function addMessage(kind, content) {
@@ -343,7 +432,10 @@ function addMessage(kind, content) {
   else box.append(content);
   $("messages").append(box);
   pruneMessages();
-  box.scrollIntoView({ behavior: "smooth", block: "end" });
+  // sticky bottom: follow new content only while stuck; a user reading
+  // history keeps their place and the "latest" pill lights up instead
+  if (SCROLL.stuck) scrollToBottom();
+  else updateJumpButton();
   return box;
 }
 
@@ -870,6 +962,7 @@ window.addEventListener("DOMContentLoaded", () => {
     }
   });
 
+  initChatScroll();
   loadModes();
   loadStyles();
   pollHealth();
