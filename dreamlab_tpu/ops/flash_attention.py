@@ -67,7 +67,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
 
     @pl.when(ik == num_k_blocks - 1)
     def _finalize():
-        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+        # l's lanes are all equal; slice to the accumulator width so the
+        # kernel also serves narrow-lane (unpadded head dim) variants
+        o_ref[0] = (
+            acc_scr[:] / l_scr[:, : acc_scr.shape[-1]]
+        ).astype(o_ref.dtype)
 
 
 def _pad_last(x, target):
