@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -119,8 +120,12 @@ def decode_tiled(
 
     Seam error is bounded by the decoder's receptive field vs ``overlap``
     (same approximation diffusers tiling makes); tests pin uint8 parity.
+
+    The tile loop is a ``lax.scan`` over (position, blend-mask) pairs, so
+    XLA compiles the decoder body ONCE regardless of tile count — a Python
+    loop would inline T decoder copies and multiply compile time by T.
     """
-    b, h, w, _ = latents.shape
+    b, h, w, c_lat = latents.shape
     if h <= tile and w <= tile:
         return decode(params, cfg, latents)
     stride = tile - overlap
@@ -128,25 +133,38 @@ def decode_tiled(
     s = cfg.scale_factor
     ys = _tile_starts(h, tile, stride)
     xs = _tile_starts(w, tile, stride)
-    out = jnp.zeros((b, h * s, w * s, 3), jnp.float32)
-    wsum = jnp.zeros((1, h * s, w * s, 1), jnp.float32)
+    pos, masks = [], []
     for y0 in ys:
         wy = _feather(tile * s, overlap * s, y0 == 0, y0 + tile == h)
         for x0 in xs:
             wx = _feather(tile * s, overlap * s, x0 == 0, x0 + tile == w)
-            wmask = jnp.asarray(
-                (wy[:, None] * wx[None, :])[None, :, :, None]
-            )
-            img = decode(
-                params, cfg, latents[:, y0:y0 + tile, x0:x0 + tile, :]
-            )
-            py, px = y0 * s, x0 * s
-            out = out.at[:, py:py + tile * s, px:px + tile * s, :].add(
-                img * wmask
-            )
-            wsum = wsum.at[:, py:py + tile * s, px:px + tile * s, :].add(
-                wmask
-            )
+            pos.append((y0 * s, x0 * s, y0, x0))
+            masks.append((wy[:, None] * wx[None, :])[:, :, None])
+    pos = jnp.asarray(np.asarray(pos, np.int32))        # [T, 4]
+    masks = jnp.asarray(np.stack(masks))                # [T, ts, ts, 1]
+
+    def body(carry, inp):
+        out, wsum = carry
+        p, wmask = inp
+        z = jax.lax.dynamic_slice(
+            latents, (0, p[2], p[3], 0), (b, tile, tile, c_lat)
+        )
+        img = decode(params, cfg, z) * wmask
+        cur = jax.lax.dynamic_slice(
+            out, (0, p[0], p[1], 0), (b, tile * s, tile * s, 3)
+        )
+        out = jax.lax.dynamic_update_slice(out, cur + img, (0, p[0], p[1], 0))
+        curw = jax.lax.dynamic_slice(
+            wsum, (0, p[0], p[1], 0), (1, tile * s, tile * s, 1)
+        )
+        wsum = jax.lax.dynamic_update_slice(
+            wsum, curw + wmask[None], (0, p[0], p[1], 0)
+        )
+        return (out, wsum), None
+
+    out = jnp.zeros((b, h * s, w * s, 3), jnp.float32)
+    wsum = jnp.zeros((1, h * s, w * s, 1), jnp.float32)
+    (out, wsum), _ = jax.lax.scan(body, (out, wsum), (pos, masks))
     return out / wsum
 
 
