@@ -240,11 +240,27 @@ def _router_child_main(argv) -> int:
     )
     assert st3 == 200 and png3 != png1
 
+    # fingerprint path rides the router too (latents gathered cross-host)
+    from ..engine.base import GenSpec
+
+    w = TPUPipelineWorker(rp, 9)
+    png_fp, seed_fp, fp = w.run_job_with_latents(GenSpec(
+        prompt="router dryrun", size="32x32", num_inference_steps=2, seed=5,
+    ))
+    assert seed_fp == 5 and len(fp) == 512, (seed_fp, len(fp))
+
+    # LoRA style merges must refuse loudly: they'd apply on process 0 only
+    try:
+        rp.unet_params = None
+        raise AssertionError("style weight swap must be rejected multi-host")
+    except ValueError:
+        pass
+
     rp.shutdown()
     loop.call_soon_threadsafe(loop.stop)
     print(
         f"dryrun_router ok: processes={n_proc} global_devices={n_global} "
-        f"served=3 deterministic=True",
+        f"served=4 fingerprint=512B deterministic=True",
         flush=True,
     )
     return 0

@@ -139,13 +139,21 @@ class RouterPipeline:
     def __getattr__(self, name):
         return getattr(self._pipe, name)
 
-    # the serving worker mutates unet_params for LoRA styles; forward the
-    # write to the wrapped pipeline so reads stay consistent (style merges
-    # are rejected at request time — see generate()'s guard — but the
-    # restore path writes base params back)
+    # the serving worker swaps unet_params to apply LoRA styles. On a
+    # multi-controller deployment that merge would happen on process 0
+    # ONLY — the followers would execute the same program with different
+    # weights, silently corrupting every shard they own. Refuse loudly;
+    # the no-op restore path (_apply_style(None) with no style active)
+    # never writes, so plain traffic is unaffected.
     def __setattr__(self, name, value):
         if name in ("_pipe", "_router"):
             object.__setattr__(self, name, value)
+        elif name == "unet_params":
+            raise ValueError(
+                "multi-host serving does not support LoRA styles yet: the "
+                "merge would apply on process 0 only and diverge from the "
+                "other controllers"
+            )
         else:
             setattr(self._pipe, name, value)
 
@@ -167,9 +175,18 @@ class RouterPipeline:
 
         res = self._pipe.generate(**req, pipelined=True)
         images = self._router.gather_images(res.images)
-        return GenerationResult(
+        # final latents gather keeps the fingerprint path
+        # (run_job_with_latents) working across hosts; it's [B, h/8, w/8, 4]
+        # fp32 — tiny next to the images. Both sides must join the
+        # collective, so this is unconditional.
+        latents = np.asarray(
+            self._router._mh.process_allgather(res.latents_device, tiled=True)
+        )
+        out = GenerationResult(
             images=images, seed=res.seed, timings=res.timings,
         )
+        out._latents_np = latents
+        return out
 
     def serve_follower(self) -> int:
         """Controller loop for processes 1..N-1: replay broadcast requests
