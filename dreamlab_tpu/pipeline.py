@@ -774,6 +774,10 @@ class LCMPipeline:
             [""] * bsz if neg is None
             else ([neg] * bsz if isinstance(neg, str) else list(neg))
         )
+        if len(negs) != bsz:
+            raise ValueError(
+                f"negative_prompt has {len(negs)} entries for batch {bsz}"
+            )
         ids_neg = b.tokenizer(negs) if cfg_mode == "cfg" else ids
         if is_xl and b.tokenizer_2 is not None:
             ids_2 = b.tokenizer_2(prompts)
@@ -1149,6 +1153,10 @@ class LCMPipeline:
             else ([negative_prompt] * bsz if isinstance(negative_prompt, str)
                   else list(negative_prompt))
         )
+        if len(negs) != bsz:
+            raise ValueError(
+                f"negative_prompt has {len(negs)} entries for batch {bsz}"
+            )
         ids_neg = b.tokenizer(negs) if cfg_mode == "cfg" else ids
         if self.arch == "sdxl" and b.tokenizer_2 is not None:
             ids_2 = b.tokenizer_2(prompts)
