@@ -80,37 +80,54 @@ class CacheWatch:
         return out
 
 
-def _tunnel_weather():
+def _tunnel_weather(timeout_s: float = 120.0):
     """Measure the tunnel directly: sync round-trip and h2d/d2h bandwidth on
-    a 6 MB buffer (the size of one batch-8 uint8 image fetch)."""
-    import numpy as np
+    a 6 MB buffer (the size of one batch-8 uint8 image fetch).
 
-    import jax
-    import jax.numpy as jnp
+    Runs in a worker thread with a deadline: a wedged tunnel session must
+    degrade this to a diagnostic, not hang the whole bench before any
+    number is produced."""
+    import threading
 
-    dev = jax.devices()[0]
-    buf = np.zeros((8, 512, 512, 3), np.uint8)
-    t0 = time.time()
-    dbuf = jax.device_put(buf, dev)
-    _sync(dbuf[:1, :1, :1, :1])
-    h2d_s = time.time() - t0
-    t0 = time.time()
-    np.asarray(dbuf)
-    d2h_s = time.time() - t0
-    one = jax.device_put(jnp.zeros((), jnp.float32), dev)
-    t0 = time.time()
-    for _ in range(5):
-        np.asarray(one)
-    rt_ms = (time.time() - t0) / 5 * 1e3
-    mb = buf.nbytes / 1e6
-    weather = {
-        "h2d_mb_s": round(mb / max(h2d_s, 1e-9), 1),
-        "d2h_mb_s": round(mb / max(d2h_s, 1e-9), 1),
-        "sync_roundtrip_ms": round(rt_ms, 1),
-    }
-    _log(f"tunnel: h2d {weather['h2d_mb_s']} MB/s, "
-         f"d2h {weather['d2h_mb_s']} MB/s, sync {rt_ms:.0f} ms")
-    return weather
+    out = {}
+
+    def probe():
+        import numpy as np
+
+        import jax
+        import jax.numpy as jnp
+
+        dev = jax.devices()[0]
+        buf = np.zeros((8, 512, 512, 3), np.uint8)
+        t0 = time.time()
+        dbuf = jax.device_put(buf, dev)
+        _sync(dbuf[:1, :1, :1, :1])
+        h2d_s = time.time() - t0
+        t0 = time.time()
+        np.asarray(dbuf)
+        d2h_s = time.time() - t0
+        one = jax.device_put(jnp.zeros((), jnp.float32), dev)
+        t0 = time.time()
+        for _ in range(5):
+            np.asarray(one)
+        rt_ms = (time.time() - t0) / 5 * 1e3
+        mb = buf.nbytes / 1e6
+        out.update({
+            "h2d_mb_s": round(mb / max(h2d_s, 1e-9), 1),
+            "d2h_mb_s": round(mb / max(d2h_s, 1e-9), 1),
+            "sync_roundtrip_ms": round(rt_ms, 1),
+        })
+
+    _log("tunnel weather probe...")
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        _log(f"tunnel weather probe still blocked after {timeout_s:.0f}s")
+        return {"error": f"probe exceeded {timeout_s:.0f}s (tunnel stalled)"}
+    _log(f"tunnel: h2d {out['h2d_mb_s']} MB/s, "
+         f"d2h {out['d2h_mb_s']} MB/s, sync {out['sync_roundtrip_ms']} ms")
+    return out
 
 
 def _median(xs):
@@ -132,10 +149,11 @@ def bench_sd15(watch, budget):
     prompt = "a photo of a cat, highly detailed"
     size = 64 if TINY else 512
 
-    def gen(seed, batch=None, rng=None, pipelined=False):
+    def gen(seed, batch=None, rng=None, pipelined=False, prefetch=True):
         return pipe.generate(
             prompt, height=size, width=size, num_inference_steps=4,
             seed=seed, batch=batch, rng=rng, pipelined=pipelined,
+            prefetch=prefetch,
         )
 
     watch.timed("sd15_b1", lambda: gen(0))
@@ -183,12 +201,14 @@ def bench_sd15(watch, budget):
 
     def run_compute_only():
         """All rounds queued back-to-back, ONE sync at the end, no per-round
-        image d2h: measures what the chip does, independent of tunnel d2h
-        bandwidth. This is the figure a direct-attached deployment sees."""
+        image d2h (prefetch=False — otherwise the eager async image copies
+        throttle the queue to tunnel bandwidth): measures what the chip
+        does. This is the figure a direct-attached deployment sees."""
         t0 = time.time()
         last = None
         for i in range(rounds):
-            last = gen(seed=i, batch=B, rng="device", pipelined=True)
+            last = gen(seed=i, batch=B, rng="device", pipelined=True,
+                       prefetch=False)
         _sync(last.images[:1, :1, :1, :1])
         return rounds * B / (time.time() - t0)
 

@@ -696,6 +696,7 @@ class LCMPipeline:
         controlnet_scale: float = 1.0,
         segment: Optional[Tuple[int, int]] = None,
         latents_state: Optional[Any] = None,
+        prefetch: bool = True,
     ) -> GenerationResult:
         """Generate images. Returns uint8 [B, H, W, 3] + final latents.
 
@@ -976,11 +977,16 @@ class LCMPipeline:
                 # enqueue the image d2h NOW, while compute is still running:
                 # the transfer starts the moment the program retires instead
                 # of after a host "is it done?" round trip (~25 ms saved
-                # through the tunnel — scripts/latency_probe2.py)
-                try:
-                    out_main.copy_to_host_async()
-                except AttributeError:
-                    pass  # non-jax array (tests stub the program)
+                # through the tunnel — scripts/latency_probe2.py).
+                # prefetch=False skips the eager copy for callers that may
+                # never read the pixels (bench compute-only measurement,
+                # speculative pipelined dispatches) — through a slow link
+                # the unwanted transfers would throttle the whole queue.
+                if prefetch:
+                    try:
+                        out_main.copy_to_host_async()
+                    except AttributeError:
+                        pass  # non-jax array (tests stub the program)
                 # pipelined: return the in-flight device arrays — the caller
                 # overlaps the next request's dispatch/compute with this
                 # one's d2h (wait())
