@@ -132,8 +132,15 @@ class TPUPipelineWorker:
         style, level = parse_style_request(style, level)
         if (style, level) == self._active:
             return
+        # multi-host facade: RouterPipeline.apply_lora replays the merge on
+        # every controller — a raw unet_params write there would change
+        # process 0's weights only (parallel/multihost_router.py)
+        broadcast = getattr(self.pipeline, "apply_lora", None)
         if style is None:
-            self.pipeline.unet_params = self._base_unet_params
+            if broadcast is not None:
+                broadcast(None)
+            else:
+                self.pipeline.unet_params = self._base_unet_params
             self._active = (None, 0)
             return
         sdef = self.styles.get(style)
@@ -148,14 +155,17 @@ class TPUPipelineWorker:
                 f"style {style!r} requires cross_attention_dim="
                 f"{sdef.required_cross_attention_dim}, model has {cad}"
             )
-        if sdef.path not in self._style_cache:
-            self._style_cache[sdef.path] = load_lora(sdef.path)
-        tensors = self._style_cache[sdef.path]
         scale = sdef.strength_for_level(level)
         t0 = time.time()
-        self.pipeline.unet_params = merge_lora_into_tree(
-            self._base_unet_params, tensors.unet, scale
-        )
+        if broadcast is not None:
+            broadcast(sdef.path, scale)
+        else:
+            if sdef.path not in self._style_cache:
+                self._style_cache[sdef.path] = load_lora(sdef.path)
+            tensors = self._style_cache[sdef.path]
+            self.pipeline.unet_params = merge_lora_into_tree(
+                self._base_unet_params, tensors.unet, scale
+            )
         self._active = (style, level)
         logger.info(
             "style %s level %d (scale %.2f) merged in %.0f ms",

@@ -130,7 +130,11 @@ def _router_child_main(argv) -> int:
     """One controller of the ROUTER dryrun: process 0 runs the REAL aiohttp
     serving stack over a RouterPipeline and drives it with real HTTP
     requests; followers replay broadcast requests in SPMD lockstep
-    (parallel/multihost_router.py)."""
+    (parallel/multihost_router.py). Beyond plain txt2img, this exercises
+    every router-supported feature: img2img, ControlNet hints, ensemble
+    segments (carry stays per-controller), progress callbacks
+    (callback_latents=False), and LoRA style merges replayed on every
+    controller."""
     coordinator, n_proc, pid, local = (
         argv[0], int(argv[1]), int(argv[2]), int(argv[3])
     )
@@ -142,18 +146,24 @@ def _router_child_main(argv) -> int:
     from .sharding import make_mesh
     from .multihost_router import MultihostRouter, RouterPipeline
     from ..pipeline import LCMPipeline
-    from ..testing import random_bundle
+    from ..testing import random_bundle, random_controlnet
 
     n_global = len(jax.devices())
     mesh = make_mesh(n_global, model=1)
     bundle = random_bundle("sd15", tiny=True, seed=0)
     pipe = LCMPipeline(bundle, dtype=jnp.float32, mesh=mesh)
+    # every controller attaches the SAME ControlNet (same seed), mirroring
+    # a deployment where each host loads the same mode config
+    pipe.set_controlnet(
+        random_controlnet(bundle.unet_cfg, vae_scale=pipe.vae_scale),
+        bundle.unet_cfg,
+    )
     router = MultihostRouter()
     rp = RouterPipeline(pipe, router)
 
     if pid != 0:
         served = rp.serve_follower()
-        assert served >= 3, f"follower replayed only {served} requests"
+        assert served >= 17, f"follower replayed only {served} messages"
         return 0
 
     # ---- process 0: the full serving stack, HTTP and all ----
@@ -249,10 +259,91 @@ def _router_child_main(argv) -> int:
     ))
     assert seed_fp == 5 and len(fp) == 512, (seed_fp, len(fp))
 
-    # LoRA style merges must refuse loudly: they'd apply on process 0 only
+    # ---- progress callbacks (the /generate/stream form) across hosts ----
+    fired = []
+    pk = dict(height=32, width=32, num_inference_steps=2, seed=5)
+    rp1 = rp.generate("router dryrun", callback=lambda i, t, lat: fired.append((i, t)),
+                      callback_steps=1, callback_latents=False, **pk)
+    assert sorted(i for i, _ in fired) == [0, 1], fired
+    rp2 = rp.generate("router dryrun", callback=lambda i, t, lat: None,
+                      callback_steps=1, callback_latents=False, **pk)
+    assert np.array_equal(rp1.images, rp2.images), "progress run not deterministic"
+    try:
+        rp.generate("x", callback=lambda i, t, lat: None, **pk)
+        raise AssertionError("callback_latents=True must be rejected multi-host")
+    except ValueError:
+        pass
+
+    # ---- img2img across hosts (init image rides the broadcast) ----
+    init = (np.random.RandomState(3).rand(32, 32, 3) * 255).astype(np.uint8)
+    i1 = rp.img2img("router dryrun", init, strength=0.6, seed=21,
+                    num_inference_steps=2)
+    i2 = rp.img2img("router dryrun", init, strength=0.6, seed=21,
+                    num_inference_steps=2)
+    assert i1.images.shape == (1, 32, 32, 3)
+    assert np.array_equal(i1.images, i2.images), "img2img not deterministic"
+
+    # ---- ControlNet hints across hosts ----
+    hint = (np.random.RandomState(4).rand(32, 32, 3) * 255).astype(np.uint8)
+    g_plain = rp.generate("router dryrun", height=32, width=32,
+                          num_inference_steps=2, seed=9)
+    g_hint = rp.generate("router dryrun", height=32, width=32,
+                         num_inference_steps=2, seed=9, control_image=hint,
+                         controlnet_scale=1.0)
+    g_hint2 = rp.generate("router dryrun", height=32, width=32,
+                          num_inference_steps=2, seed=9, control_image=hint,
+                          controlnet_scale=1.0)
+    assert not np.array_equal(g_plain.images, g_hint.images), \
+        "hint had no effect through the router"
+    assert np.array_equal(g_hint.images, g_hint2.images)
+
+    # ---- ensemble segments: carry stays on each controller ----
+    sk = dict(height=32, width=32, num_inference_steps=2, seed=11)
+    full = rp.generate("router dryrun", **sk)
+    s1 = rp.generate("router dryrun", segment=(0, 1), **sk)
+    assert s1.images is None and s1.state_device is not None
+    s2 = rp.generate("router dryrun", segment=(1, 2),
+                     latents_state=s1.state_device, **sk)
+    assert np.array_equal(s2.images, full.images), \
+        "segmented run != single full run through the router"
+    try:
+        rp.generate("x", segment=(1, 2),
+                    latents_state=np.zeros((1, 16, 16, 4), np.float32), **sk)
+        raise AssertionError("foreign carry must be rejected multi-host")
+    except ValueError:
+        pass
+
+    # ---- LoRA styles: the merge replays on every controller ----
+    import tempfile as _tf
+
+    from safetensors.numpy import save_file as _st_save
+
+    rs = np.random.RandomState(0)
+    rank, c = 4, bundle.unet_cfg.cross_attention_dim
+    lora_path = os.path.join(_tf.gettempdir(), f"router_lora_{coordinator.split(':')[1]}.safetensors")
+    _st_save({
+        "lora_unet_down_blocks_0_attentions_0_transformer_blocks_0_attn1_to_q.lora_down.weight":
+            rs.randn(rank, c).astype(np.float32),
+        "lora_unet_down_blocks_0_attentions_0_transformer_blocks_0_attn1_to_q.lora_up.weight":
+            rs.randn(c, rank).astype(np.float32),
+        "lora_unet_down_blocks_0_attentions_0_transformer_blocks_0_attn1_to_q.alpha":
+            np.array(rank, np.float32),
+    }, lora_path)
+    lk = dict(height=32, width=32, num_inference_steps=2, seed=13)
+    base_img = rp.generate("router dryrun", **lk)
+    rp.apply_lora(lora_path, 1.0)
+    styled = rp.generate("router dryrun", **lk)
+    assert not np.array_equal(base_img.images, styled.images), \
+        "LoRA merge had no effect through the router"
+    rp.apply_lora(None)
+    restored = rp.generate("router dryrun", **lk)
+    assert np.array_equal(base_img.images, restored.images), \
+        "LoRA restore did not recover base weights"
+
+    # raw weight swaps still refuse loudly: they'd apply on process 0 only
     try:
         rp.unet_params = None
-        raise AssertionError("style weight swap must be rejected multi-host")
+        raise AssertionError("raw weight swap must be rejected multi-host")
     except ValueError:
         pass
 
@@ -260,7 +351,8 @@ def _router_child_main(argv) -> int:
     loop.call_soon_threadsafe(loop.stop)
     print(
         f"dryrun_router ok: processes={n_proc} global_devices={n_global} "
-        f"served=4 fingerprint=512B deterministic=True",
+        f"served=19 fingerprint=512B features=progress,img2img,controlnet,"
+        f"segments,lora deterministic=True",
         flush=True,
     )
     return 0

@@ -85,6 +85,19 @@ def _cache_put(d: dict, key, value, cap: int = 64):
     d[key] = value
 
 
+def _materialize_images(x):
+    """Host-materialize a finished image batch.
+
+    Multi-controller exception: a global array sharded across PROCESSES has
+    non-addressable shards — ``np.asarray`` would throw. Return the device
+    array instead; the multihost router gathers it with process_allgather
+    (parallel/multihost_router.py)."""
+    x = jax.block_until_ready(x)
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    return x
+
+
 @dataclasses.dataclass
 class GenerationResult:
     """images materialize on construction (or on .wait() in pipelined mode);
@@ -335,6 +348,43 @@ class LCMPipeline:
         noises = rs.randn(steps, batch, c, h_lat, w_lat).astype(np.float32)
         noises = noises.transpose(0, 1, 3, 4, 2)
         return np.ascontiguousarray(lat), np.ascontiguousarray(noises)
+
+    # ------------------------------------------------------------------
+    # input staging
+    # ------------------------------------------------------------------
+
+    def _put_inputs(self, stage: Dict[str, Any], bsz: int, *,
+                    axes: Optional[Dict[str, int]] = None):
+        """Mesh-aware h2d staging for one grouped request upload.
+
+        With a mesh, batch-carrying inputs shard over the data axis only
+        when the batch divides it; otherwise they replicate (correct, no DP
+        speedup) — serving deployments set DREAMLAB_MAX_BATCH to a mesh
+        multiple for the fast path. ``axes`` overrides the batch dimension
+        per key (step noises carry batch on axis 1)."""
+        if self.mesh is None:
+            return jax.device_put(stage, self.device)
+        from .parallel.sharding import data_sharding, replicated
+
+        rep = replicated(self.mesh)
+        n_data = self.mesh.shape.get("data", 1)
+        shard_batch = bsz % n_data == 0
+        sh = lambda x, axis: (
+            data_sharding(self.mesh, np.ndim(x), axis)
+            if (np.ndim(x) and shard_batch) else rep
+        )
+        shardings = {
+            k: sh(v, (axes or {}).get(k, 0)) for k, v in stage.items()
+        }
+        return jax.device_put(stage, shardings)
+
+    def _put_replicated(self, x):
+        """Stage a request-independent pytree (schedules) on device."""
+        if self.mesh is None:
+            return jax.device_put(x, self.device)
+        from .parallel.sharding import replicated
+
+        return jax.device_put(x, replicated(self.mesh))
 
     # ------------------------------------------------------------------
     # per-step progress (reference callback contract, rknnlcm.py:464-604)
@@ -906,30 +956,10 @@ class LCMPipeline:
         sched_key = (num_inference_steps, original_inference_steps,
                      seg_start, seg_stop)
         schedule_dev = self._dev_schedules.get(sched_key)
-        if self.mesh is not None:
-            from .parallel.sharding import data_sharding, replicated
-
-            rep = replicated(self.mesh)
-            # batch shards over the data axis only when divisible; otherwise
-            # inputs replicate (correct, no DP speedup) — serving deployments
-            # set DREAMLAB_MAX_BATCH to a mesh multiple for the fast path
-            n_data = self.mesh.shape.get("data", 1)
-            shard_batch = bsz % n_data == 0
-            sh = lambda x, axis=0: (
-                data_sharding(self.mesh, np.ndim(x), axis)
-                if (np.ndim(x) and shard_batch) else rep
-            )
-            shardings = {k: sh(v) for k, v in stage.items()}
-            shardings["noises"] = sh(stage["noises"], 1)
-            stage = jax.device_put(stage, shardings)
-            if schedule_dev is None:
-                schedule_dev = jax.device_put(schedule, rep)
-                _cache_put(self._dev_schedules, sched_key, schedule_dev)
-        else:
-            stage = jax.device_put(stage, self.device)
-            if schedule_dev is None:
-                schedule_dev = jax.device_put(schedule, self.device)
-                _cache_put(self._dev_schedules, sched_key, schedule_dev)
+        stage = self._put_inputs(stage, bsz, axes={"noises": 1})
+        if schedule_dev is None:
+            schedule_dev = self._put_replicated(schedule)
+            _cache_put(self._dev_schedules, sched_key, schedule_dev)
         for k_alias, k_src in aliases.items():
             stage[k_alias] = stage[k_src]
         ids, ids_neg = stage["ids"], stage["ids_neg"]
@@ -982,7 +1012,7 @@ class LCMPipeline:
                 # never read the pixels (bench compute-only measurement,
                 # speculative pipelined dispatches) — through a slow link
                 # the unwanted transfers would throttle the whole queue.
-                if prefetch:
+                if prefetch and getattr(out_main, "is_fully_addressable", True):
                     try:
                         out_main.copy_to_host_async()
                     except AttributeError:
@@ -991,8 +1021,7 @@ class LCMPipeline:
                 # overlaps the next request's dispatch/compute with this
                 # one's d2h (wait())
                 images = (
-                    out_main if pipelined
-                    else np.asarray(jax.block_until_ready(out_main))
+                    out_main if pipelined else _materialize_images(out_main)
                 )
         finally:
             if progress_mode != "none":
@@ -1240,14 +1269,16 @@ class LCMPipeline:
             stage["mask_lat"] = np.ascontiguousarray(mask_lat)
             stage["noises_known"] = np.ascontiguousarray(noises_known)
         stage, aliases = _dedupe_stage(stage)
-        stage = jax.device_put(stage, self.device)
+        stage = self._put_inputs(
+            stage, bsz, axes={"noises": 1, "noises_known": 1}
+        )
         for k_alias, k_src in aliases.items():
             stage[k_alias] = stage[k_src]
         sched_key = ("strength", num_inference_steps,
                      original_inference_steps, strength)
         schedule_dev = self._dev_schedules.get(sched_key)
         if schedule_dev is None:
-            schedule_dev = jax.device_put(schedule, self.device)
+            schedule_dev = self._put_replicated(schedule)
             _cache_put(self._dev_schedules, sched_key, schedule_dev)
 
         common = (
@@ -1272,11 +1303,12 @@ class LCMPipeline:
                 stage["eps_post"], stage["noise0"], stage["noises"],
                 *tail,
             )
-        try:
-            img_u8.copy_to_host_async()
-        except AttributeError:
-            pass
-        images = np.asarray(jax.block_until_ready(img_u8))
+        if getattr(img_u8, "is_fully_addressable", True):
+            try:
+                img_u8.copy_to_host_async()
+            except AttributeError:
+                pass
+        images = _materialize_images(img_u8)
         t_done = time.time()
         return GenerationResult(
             images=images,
