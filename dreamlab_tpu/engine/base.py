@@ -55,6 +55,10 @@ class GenSpec:
         default=None, compare=False, repr=False
     )
     controlnet_scale: Optional[float] = None
+    # multi-tenant target mode: None = the pool's active mode. Set by the
+    # serving layer when DREAMLAB_MODE_CACHE > 1 — the pool routes the job
+    # to that mode's warm resident worker instead of switching globally.
+    mode: Optional[str] = None
 
     def dims(self) -> Tuple[int, int]:
         return parse_size(self.size)

@@ -346,26 +346,91 @@ class WorkerPool:
             self._dispose_worker(*v)
 
     # ------------------------------------------------------------------
+    # multi-tenant routing: jobs whose spec names a non-active mode serve
+    # from that mode's warm resident worker (DREAMLAB_MODE_CACHE > 1)
+    # without touching the active mode — concurrent mode traffic pays no
+    # switch, ever. All resolution happens on the pool thread.
+    # ------------------------------------------------------------------
+
+    @property
+    def multi_tenant(self) -> bool:
+        return self.mode_cache_size > 1
+
+    def _worker_for_job(self, job: Job):
+        """Resolve the worker that executes ``job`` (pool thread only)."""
+        spec_mode = getattr(getattr(job, "spec", None), "mode", None)
+        if not spec_mode or spec_mode == self.current_mode:
+            return self.worker
+        return self._tenant_worker(spec_mode)
+
+    def _tenant_worker(self, mode_name: str):
+        """Warm resident worker for a non-active mode, loading on first use.
+
+        The active worker is never evicted for a tenant; tenants compete
+        for the cache's size-1 warm slots under the registry's HBM
+        accounting, same as switch-time stashes."""
+        if not self.multi_tenant:
+            raise ValueError(
+                f"mode {mode_name!r} is not active and DREAMLAB_MODE_CACHE="
+                f"{self.mode_cache_size} leaves no room for warm tenants — "
+                "switch modes or raise the cache size"
+            )
+        mode = self.mode_config.get_mode(mode_name)
+        sig = self._mode_signature(mode)
+        with self._state_lock:
+            entry = self._mode_cache.pop(mode_name, None)
+            if entry is not None and entry[0] == sig:
+                self._mode_cache[mode_name] = entry  # touch: MRU at the end
+                return entry[1]
+        if entry is not None:
+            # modes.yaml re-pointed this mode since it was cached
+            logger.info("tenant %s config changed; reloading", mode_name)
+            self._dispose_worker(mode_name, entry[1])
+        estimate = self.registry.estimate_model_hbm(mode.model)
+        while not self.registry.can_fit(estimate):
+            victim = self._pop_lru_cached()
+            if victim is None:
+                break
+            self._dispose_worker(*victim)
+        t0 = time.time()
+        worker = self._build_worker(mode_name, mode)
+        victims = []
+        with self._state_lock:
+            self._mode_cache[mode_name] = (sig, worker)
+            keep = max(self.mode_cache_size - 1, 0)
+            while len(self._mode_cache) > keep:
+                victims.append(self._pop_lru_locked())
+        for v in victims:
+            self._dispose_worker(*v)
+        logger.info(
+            "tenant mode %s loaded in %.1fs (active stays %s)",
+            mode_name, time.time() - t0, self.current_mode,
+        )
+        return worker
+
+    # ------------------------------------------------------------------
     def _start_worker_thread(self):
         self._thread = threading.Thread(
             target=self._worker_loop, name="worker-pool", daemon=True
         )
         self._thread.start()
 
-    def _can_batch(self, job: Job) -> bool:
+    def _can_batch(self, job: Job, worker=None) -> bool:
+        worker = worker if worker is not None else self.worker
         return (
             isinstance(job, GenerationJob)
             and not job.with_latents
             and self.max_batch > 1
-            and hasattr(self.worker, "run_jobs")
-            and hasattr(self.worker, "batchable")
+            and hasattr(worker, "run_jobs")
+            and hasattr(worker, "batchable")
             # ensemble (base→refiner) workers serve solo: coalescing drives
             # one pipeline with explicit noise and would bypass the handoff
-            and getattr(self.worker, "supports_batching", True)
+            and getattr(worker, "supports_batching", True)
         )
 
     def _collect_batch(
-        self, first: GenerationJob, pending: list, *, window: float = 0.0
+        self, first: GenerationJob, pending: list, *, window: float = 0.0,
+        worker=None,
     ) -> list:
         """Greedily coalesce adjacent compatible jobs; stop at the first
         incompatible one so FIFO semantics (incl. the mode-switch ordering
@@ -375,6 +440,7 @@ class WorkerPool:
         while a previous batch is still computing on device — the wait is
         hidden behind that compute, so slightly-staggered arrivals coalesce
         for free (batch-8 is ~4× as efficient per image as batch-1)."""
+        worker = worker if worker is not None else self.worker
         batch = [first]
         deadline = time.time() + window if window > 0 else 0.0
         while len(batch) < self.max_batch:
@@ -393,7 +459,10 @@ class WorkerPool:
                 nxt is not None
                 and isinstance(nxt, GenerationJob)
                 and not nxt.with_latents
-                and self.worker.batchable(first.spec, nxt.spec)
+                # multi-tenant: only same-mode jobs share a device call
+                and getattr(nxt.spec, "mode", None)
+                == getattr(first.spec, "mode", None)
+                and worker.batchable(first.spec, nxt.spec)
             ):
                 if nxt.future.set_running_or_notify_cancel():
                     batch.append(nxt)
@@ -472,14 +541,32 @@ class WorkerPool:
                         settle_inflight()
                     continue
 
-                if self._can_batch(job):
+                # multi-tenant: route to the spec's mode (active by default).
+                # Resolution may LOAD a cold tenant — finish in-flight work
+                # first so its futures aren't held hostage to a model load.
+                try:
+                    spec_mode = getattr(
+                        getattr(job, "spec", None), "mode", None
+                    )
+                    if spec_mode and spec_mode != self.current_mode:
+                        settle_inflight()
+                    worker = self._worker_for_job(job)
+                except Exception as e:
+                    logger.exception("job %s mode resolution failed",
+                                     job.job_id)
+                    settle_inflight()
+                    job.future.set_exception(e)
+                    continue
+
+                if self._can_batch(job, worker):
                     batch = self._collect_batch(
                         job, pending,
                         window=self.batch_window if inflight else 0.0,
+                        worker=worker,
                     )
                     if len(batch) > 1:
                         runner = getattr(
-                            self.worker, "run_jobs_pipelined", None
+                            worker, "run_jobs_pipelined", None
                         )
                         if runner is not None:
                             # dispatch the new batch BEFORE settling the
@@ -498,7 +585,7 @@ class WorkerPool:
                                 settle_inflight()
                             continue
                         try:
-                            results = self.worker.run_jobs(
+                            results = worker.run_jobs(
                                 [j.spec for j in batch]
                             )
                             for j, r in zip(batch, results):
@@ -514,10 +601,10 @@ class WorkerPool:
                 if (
                     isinstance(job, GenerationJob)
                     and not job.with_latents
-                    and hasattr(self.worker, "run_job_pipelined")
+                    and hasattr(worker, "run_job_pipelined")
                 ):
                     try:
-                        fin = self.worker.run_job_pipelined(job.spec)
+                        fin = worker.run_job_pipelined(job.spec)
                     except Exception as e:
                         logger.exception("job %s failed", job.job_id)
                         settle_inflight()  # FIFO: earlier job resolves first
@@ -543,7 +630,8 @@ class WorkerPool:
                             result = job.execute(self.worker)
                             self._load_mode(job.target_mode)
                     else:
-                        result = job.execute(self.worker)
+                        # fingerprint jobs route to their tenant too
+                        result = job.execute(worker)
                     job.future.set_result(result)
                 except Exception as e:  # fail only this job
                     logger.exception("job %s failed", job.job_id)

@@ -250,6 +250,7 @@ async def run_generate(state: ServerState, req: GenerateRequest,
     """Shared generation flow → (image_bytes, headers dict)."""
     cfg = state.config
 
+    tenant_mode = None
     if req.mode is not None:
         if state.pool is None:
             raise web.HTTPBadRequest(
@@ -262,15 +263,22 @@ async def run_generate(state: ServerState, req: GenerateRequest,
                 content_type="application/json",
             )
         if state.pool.current_mode != req.mode:
-            fut = state.pool.switch_mode(req.mode)
-            await _await_future(fut, timeout=30.0)
+            if getattr(state.pool, "multi_tenant", False):
+                # DREAMLAB_MODE_CACHE > 1: serve from the mode's warm
+                # resident worker — the active mode (and every other
+                # client's traffic) is untouched
+                tenant_mode = req.mode
+            else:
+                fut = state.pool.switch_mode(req.mode)
+                await _await_future(fut, timeout=30.0)
 
     if state.pool is not None and state.mode_config is not None:
-        current = state.pool.current_mode
-        if current and state.mode_config.has_mode(current):
-            _apply_mode_defaults(req, state.mode_config.get_mode(current))
+        served = tenant_mode or state.pool.current_mode
+        if served and state.mode_config.has_mode(served):
+            _apply_mode_defaults(req, state.mode_config.get_mode(served))
 
     spec = _spec_from_request(req, state)
+    spec.mode = tenant_mode
     if progress_cb is not None:
         spec.progress_cb = progress_cb
 
@@ -292,7 +300,10 @@ async def run_generate(state: ServerState, req: GenerateRequest,
 
     headers = {
         "X-Seed": str(seed),
-        "X-Mode": state.pool.current_mode if state.pool else "legacy",
+        "X-Mode": (
+            (tenant_mode or state.pool.current_mode)
+            if state.pool else "legacy"
+        ),
         "X-SuperRes": "0",
     }
     if spec.control_image is not None:
