@@ -173,32 +173,17 @@ class WorkerPool:
         # (model path, lora files+strengths): a modes.yaml hot-reload that
         # repoints a mode invalidates its warm worker instead of serving
         # stale weights.
-        with self._state_lock:
-            entry = self._mode_cache.pop(mode_name, None)
-        if entry is not None:
-            cached_sig, cached_worker = entry
-            if cached_sig == sig:
-                self._stash_current_worker()
-                with self._state_lock:
-                    self.worker = cached_worker
-                    self.current_mode = mode_name
-                logger.info("mode %s activated from cache", mode_name)
-                return
-            logger.info(
-                "mode %s config changed since caching; reloading", mode_name
-            )
-            self._dispose_worker(mode_name, cached_worker)
+        cached = self._cache_take(mode_name, sig)
+        if cached is not None:
+            self._stash_current_worker()
+            with self._state_lock:
+                self.worker = cached
+                self.current_mode = mode_name
+            logger.info("mode %s activated from cache", mode_name)
+            return
 
         self._stash_current_worker()
-        # make room BEFORE the load allocates: evict LRU warm workers until
-        # the estimate fits (can_fit degrades to True without device stats,
-        # so a stats-less backend never churns the cache)
-        estimate = self.registry.estimate_model_hbm(mode.model)
-        while not self.registry.can_fit(estimate):
-            victim = self._pop_lru_cached()
-            if victim is None:
-                break
-            self._dispose_worker(*victim)
+        self._evict_until_fits(mode.model)
         t0 = time.time()
         worker = self._build_worker(mode_name, mode)
         with self._state_lock:
@@ -283,6 +268,44 @@ class WorkerPool:
             (rf.file, rf.switch_at) if rf else None,
         )
 
+    def _cache_take(self, mode_name: str, sig: tuple):
+        """Pop and return the warm worker for ``mode_name`` if its cached
+        signature still matches; dispose stale entries (modes.yaml
+        re-pointed the mode since it was cached). None on miss."""
+        with self._state_lock:
+            entry = self._mode_cache.pop(mode_name, None)
+        if entry is None:
+            return None
+        if entry[0] == sig:
+            return entry[1]
+        logger.info(
+            "mode %s config changed since caching; reloading", mode_name
+        )
+        self._dispose_worker(mode_name, entry[1])
+        return None
+
+    def _evict_until_fits(self, model_path: str):
+        """Make room BEFORE a load allocates: evict LRU warm workers until
+        the estimate fits (can_fit degrades to True without device stats,
+        so a stats-less backend never churns the cache)."""
+        estimate = self.registry.estimate_model_hbm(model_path)
+        while not self.registry.can_fit(estimate):
+            victim = self._pop_lru_cached()
+            if victim is None:
+                break
+            self._dispose_worker(*victim)
+
+    def _trim_cache(self):
+        """Bound warm entries to mode_cache_size - 1 (one slot is reserved
+        for the active worker)."""
+        victims = []
+        with self._state_lock:
+            keep = max(self.mode_cache_size - 1, 0)
+            while len(self._mode_cache) > keep:
+                victims.append(self._pop_lru_locked())
+        for v in victims:
+            self._dispose_worker(*v)
+
     def _pop_lru_locked(self):
         """Pop the least-recently-used cache entry. Lock must be held."""
         mode, (_sig, worker) = next(iter(self._mode_cache.items()))
@@ -298,7 +321,6 @@ class WorkerPool:
     def _stash_current_worker(self):
         """Park the active worker in the cache (cache size 1 disposes it
         immediately — the reference's unload-on-switch behavior)."""
-        victims = []
         with self._state_lock:
             worker, mode = self.worker, self.current_mode
             self.worker = None
@@ -311,14 +333,9 @@ class WorkerPool:
                 if sig is not None:
                     self._mode_cache[mode] = (sig, worker)  # MRU at the end
                     worker = None  # kept warm
-            # reserve one slot for the incoming active worker
-            keep = max(self.mode_cache_size - 1, 0)
-            while len(self._mode_cache) > keep:
-                victims.append(self._pop_lru_locked())
         if worker is not None:
             self._dispose_worker(mode, worker)
-        for v in victims:
-            self._dispose_worker(*v)
+        self._trim_cache()  # reserve one slot for the incoming active worker
 
     def _dispose_worker(self, mode: Optional[str], worker):
         if mode:
@@ -377,36 +394,32 @@ class WorkerPool:
             )
         mode = self.mode_config.get_mode(mode_name)
         sig = self._mode_signature(mode)
-        with self._state_lock:
-            entry = self._mode_cache.pop(mode_name, None)
-            if entry is not None and entry[0] == sig:
-                self._mode_cache[mode_name] = entry  # touch: MRU at the end
-                return entry[1]
-        if entry is not None:
-            # modes.yaml re-pointed this mode since it was cached
-            logger.info("tenant %s config changed; reloading", mode_name)
-            self._dispose_worker(mode_name, entry[1])
-        estimate = self.registry.estimate_model_hbm(mode.model)
-        while not self.registry.can_fit(estimate):
-            victim = self._pop_lru_cached()
-            if victim is None:
-                break
-            self._dispose_worker(*victim)
+        cached = self._cache_take(mode_name, sig)
+        if cached is not None:
+            with self._state_lock:
+                self._mode_cache[mode_name] = (sig, cached)  # touch: MRU
+            return cached
+        self._evict_until_fits(mode.model)
         t0 = time.time()
         worker = self._build_worker(mode_name, mode)
-        victims = []
         with self._state_lock:
             self._mode_cache[mode_name] = (sig, worker)
-            keep = max(self.mode_cache_size - 1, 0)
-            while len(self._mode_cache) > keep:
-                victims.append(self._pop_lru_locked())
-        for v in victims:
-            self._dispose_worker(*v)
+        self._trim_cache()
         logger.info(
             "tenant mode %s loaded in %.1fs (active stays %s)",
             mode_name, time.time() - t0, self.current_mode,
         )
         return worker
+
+    def _tenant_is_warm(self, mode_name: str) -> bool:
+        """True if a signature-valid warm worker exists (no side effects)."""
+        try:
+            sig = self._mode_signature(self.mode_config.get_mode(mode_name))
+        except Exception:
+            return False
+        with self._state_lock:
+            entry = self._mode_cache.get(mode_name)
+        return entry is not None and entry[0] == sig
 
     # ------------------------------------------------------------------
     def _start_worker_thread(self):
@@ -459,9 +472,11 @@ class WorkerPool:
                 nxt is not None
                 and isinstance(nxt, GenerationJob)
                 and not nxt.with_latents
-                # multi-tenant: only same-mode jobs share a device call
-                and getattr(nxt.spec, "mode", None)
-                == getattr(first.spec, "mode", None)
+                # multi-tenant: only jobs resolving to the same worker share
+                # a device call (None = the active mode; no switch can
+                # interleave between collect and run — single pool thread)
+                and (getattr(nxt.spec, "mode", None) or self.current_mode)
+                == (getattr(first.spec, "mode", None) or self.current_mode)
                 and worker.batchable(first.spec, nxt.spec)
             ):
                 if nxt.future.set_running_or_notify_cancel():
@@ -544,11 +559,17 @@ class WorkerPool:
                 # multi-tenant: route to the spec's mode (active by default).
                 # Resolution may LOAD a cold tenant — finish in-flight work
                 # first so its futures aren't held hostage to a model load.
+                # Warm tenants skip the settle: steady same-tenant traffic
+                # keeps the d2h/encode-behind-compute pipelining.
                 try:
                     spec_mode = getattr(
                         getattr(job, "spec", None), "mode", None
                     )
-                    if spec_mode and spec_mode != self.current_mode:
+                    if (
+                        spec_mode
+                        and spec_mode != self.current_mode
+                        and not self._tenant_is_warm(spec_mode)
+                    ):
                         settle_inflight()
                     worker = self._worker_for_job(job)
                 except Exception as e:

@@ -347,12 +347,23 @@ def _router_child_main(argv) -> int:
     except ValueError:
         pass
 
+    # post-broadcast validation errors (both controllers raise the SAME
+    # error before any collective) must not kill the follower loop
+    try:
+        rp.img2img("x", init, strength=0.0, seed=1, num_inference_steps=2)
+        raise AssertionError("strength=0 must raise")
+    except ValueError:
+        pass
+    again = rp.generate("router dryrun", **lk)
+    assert np.array_equal(again.images, base_img.images), \
+        "router desynced after a rejected request"
+
     rp.shutdown()
     loop.call_soon_threadsafe(loop.stop)
     print(
         f"dryrun_router ok: processes={n_proc} global_devices={n_global} "
         f"served=19 fingerprint=512B features=progress,img2img,controlnet,"
-        f"segments,lora deterministic=True",
+        f"segments,lora,reject-resilience deterministic=True",
         flush=True,
     )
     return 0

@@ -347,24 +347,39 @@ class RouterPipeline:
         """Controller loop for processes 1..N-1: replay broadcast messages
         until the shutdown sentinel. Dispatches across ALL RouterPipelines
         registered on this router (base + refiner in an ensemble). Returns
-        the number of messages served."""
+        the number of messages served.
+
+        Errors are caught per-message, mirroring process 0's per-job catch
+        in the worker pool: a request that fails ARGUMENT VALIDATION (bad
+        strength, missing ControlNet, …) raises the same exception on every
+        controller BEFORE any collective — process 0 answers 4xx and keeps
+        serving, so followers must keep serving too, or the next
+        broadcast_one_to_all would block forever against a dead
+        participant. (A failure INSIDE a collective is not survivable
+        either way — that is a runtime fault, not a request fault.)"""
         served = 0
         router = self._router
         while True:
             msg = router.recv_message()
             if msg is None:
                 return served
-            pipe = router.pipes[msg.get("pipe", "base")]
-            if msg["op"] == "call":
-                pipe._execute(
-                    msg["method"], msg["kw"],
-                    progress=msg.get("progress"),
-                    carry=bool(msg.get("carry")),
+            try:
+                pipe = router.pipes[msg.get("pipe", "base")]
+                if msg["op"] == "call":
+                    pipe._execute(
+                        msg["method"], msg["kw"],
+                        progress=msg.get("progress"),
+                        carry=bool(msg.get("carry")),
+                    )
+                elif msg["op"] == "lora":
+                    pipe._apply_lora_local(msg["path"], msg["scale"])
+                else:
+                    raise ValueError(f"unknown router op {msg['op']!r}")
+            except Exception:
+                logger.exception(
+                    "follower: message %s failed (process 0 fails the same "
+                    "request; continuing)", msg.get("op"),
                 )
-            elif msg["op"] == "lora":
-                pipe._apply_lora_local(msg["path"], msg["scale"])
-            else:
-                raise ValueError(f"unknown router op {msg['op']!r}")
             served += 1
 
     def shutdown(self) -> None:

@@ -262,15 +262,16 @@ async def run_generate(state: ServerState, req: GenerateRequest,
                 text=json.dumps({"detail": f"unknown mode {req.mode!r}"}),
                 content_type="application/json",
             )
-        if state.pool.current_mode != req.mode:
-            if getattr(state.pool, "multi_tenant", False):
-                # DREAMLAB_MODE_CACHE > 1: serve from the mode's warm
-                # resident worker — the active mode (and every other
-                # client's traffic) is untouched
-                tenant_mode = req.mode
-            else:
-                fut = state.pool.switch_mode(req.mode)
-                await _await_future(fut, timeout=30.0)
+        if getattr(state.pool, "multi_tenant", False):
+            # DREAMLAB_MODE_CACHE > 1: serve from the mode's warm resident
+            # worker — the active mode (and every other client's traffic)
+            # is untouched. Pin the mode even when it equals the active one
+            # RIGHT NOW: a queued switch ahead of this job would otherwise
+            # silently re-route it to the new active model.
+            tenant_mode = req.mode
+        elif state.pool.current_mode != req.mode:
+            fut = state.pool.switch_mode(req.mode)
+            await _await_future(fut, timeout=30.0)
 
     if state.pool is not None and state.mode_config is not None:
         served = tenant_mode or state.pool.current_mode
@@ -308,13 +309,20 @@ async def run_generate(state: ServerState, req: GenerateRequest,
     }
     if spec.control_image is not None:
         headers["X-ControlNet"] = "1"
-        headers["X-ControlNet-Scale"] = str(
-            spec.controlnet_scale if spec.controlnet_scale is not None
-            else getattr(
+        if spec.controlnet_scale is not None:
+            applied_scale = spec.controlnet_scale
+        elif tenant_mode is not None:
+            # the tenant worker's default is its mode's controlnet.scale —
+            # the active worker's default may differ
+            cn = getattr(state.mode_config.get_mode(tenant_mode),
+                         "controlnet", None)
+            applied_scale = cn.scale if cn else 1.0
+        else:
+            applied_scale = getattr(
                 state.pool.worker if state.pool else None,
                 "controlnet_scale", 1.0,
             )
-        )
+        headers["X-ControlNet-Scale"] = str(applied_scale)
     media_type = "image/png"
     data = png
 

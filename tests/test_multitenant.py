@@ -130,6 +130,33 @@ def test_switch_to_tenant_promotes_cached_worker(tmp_path):
         pool.shutdown()
 
 
+def test_pinned_mode_survives_queued_switch(tmp_path):
+    """A request that pins the CURRENTLY-active mode must still serve from
+    that mode when a queued switch lands ahead of it in the FIFO (the
+    serving layer pins req.mode unconditionally in multi-tenant setups)."""
+    from dreamlab_tpu.engine.worker_pool import CustomJob
+
+    pool = make_pool(tmp_path, cache_size=2)
+    try:
+        gate = threading.Event()
+        pool.submit_job(CustomJob(lambda w: gate.wait(5)))
+        sw = pool.switch_mode("beta")
+        fut = pool.submit_job(GenerationJob(
+            GenSpec(prompt="x", mode="alpha")
+        ))
+        gate.set()
+        sw.result(timeout=10)
+        fut.result(timeout=10)
+        assert pool.current_mode == "beta"
+        # the job ran on alpha's (now warm) worker, not the new active
+        alpha = next(w for w in pool._created if "alpha" in w.model_path)
+        beta = next(w for w in pool._created if "beta" in w.model_path)
+        assert [s.mode for s in alpha.jobs] == ["alpha"]
+        assert beta.jobs == []
+    finally:
+        pool.shutdown()
+
+
 def test_mixed_mode_jobs_do_not_share_batches(tmp_path):
     from tests.test_engine import BatchingFakeWorker
 
