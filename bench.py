@@ -80,7 +80,7 @@ class CacheWatch:
         return out
 
 
-def _tunnel_weather(timeout_s: float = 120.0):
+def _tunnel_weather(timeout_s: float = 60.0):
     """Measure the tunnel directly: sync round-trip and h2d/d2h bandwidth on
     a 6 MB buffer (the size of one batch-8 uint8 image fetch).
 
@@ -168,7 +168,9 @@ def bench_sd15(watch, budget):
     _log(f"flash attention sites traced: {flash}")
 
     # p50 latency: sequential single-image requests (the serving contract),
-    # 3 reps × 10 images, per-image times pooled
+    # 3 reps × 10 images, per-image times pooled. Budget-guarded after the
+    # first rep: a wedged tunnel (the r4 run lost 28 min INSIDE one call,
+    # on a compile-cache hit) must degrade rep counts, not kill the JSON.
     lat_reps = []
     for rep in range(3):
         times = []
@@ -178,6 +180,9 @@ def bench_sd15(watch, budget):
             times.append(1e3 * (time.time() - t0))
         lat_reps.append(round(_median(times)))
         _log(f"sequential latency rep {rep}: p50 {lat_reps[-1]} ms")
+        if not budget():
+            _log("budget exhausted mid-latency-reps")
+            break
     p50 = _median(lat_reps)
 
     B, rounds = 8, 8
@@ -218,9 +223,11 @@ def bench_sd15(watch, budget):
         compute.append(round(run_compute_only(), 2))
         _log(f"throughput rep {rep}: e2e {e2e[-1]} img/s, "
              f"compute-only {compute[-1]} img/s")
+        if not budget():
+            _log("budget exhausted mid-throughput-reps")
+            break
 
-    del pipe
-    return {
+    out = {
         "img_per_s": _median(e2e),
         "e2e_reps": e2e,
         "compute_only_img_per_s": _median(compute),
@@ -229,6 +236,78 @@ def bench_sd15(watch, budget):
         "p50_latency_reps": lat_reps,
         "flash_sites_traced": flash,
     }
+    if budget():
+        out["lora_swap"] = _bench_lora_swap(pipe, gen, watch)
+    del pipe
+    return out
+
+
+def _bench_lora_swap(pipe, gen, watch):
+    """LoRA hot-swap (BASELINE config 'multi-LoRA composition mode'):
+    merge an adapter into the UNet on-device and serve with it. Weights
+    are jit ARGUMENTS, so the swap must not recompile — the reference
+    reloads the whole pipeline to change adapters (modes.yaml switch,
+    README.md:394-397)."""
+    import numpy as np
+
+    from dreamlab_tpu import lora as lora_mod
+
+    attn = pipe.unet_params["down"][0]["attentions"][0]["blocks"][0]["attn1"]
+    wq = attn["qkv"]["w"] if "qkv" in attn else attn["q"]["w"]
+    c, rank = int(wq.shape[0]), 8
+    rs = np.random.RandomState(0)
+    key = ("lora_unet_down_blocks_0_attentions_0_transformer_blocks_0"
+           "_attn1_to_q")
+    tensors = lora_mod.parse_lora_state_dict({
+        f"{key}.lora_down.weight": rs.randn(rank, c).astype(np.float32),
+        f"{key}.lora_up.weight": rs.randn(c, rank).astype(np.float32),
+        f"{key}.alpha": np.array(rank, np.float32),
+    })
+    base = pipe.unet_params
+    entries_before = watch._entries()
+    t0 = time.time()
+    merged = lora_mod.merge_lora_into_tree(base, tensors.unet, 1.0)
+    _sync((merged["down"][0]["attentions"][0]["blocks"][0]["attn1"]
+           ["qkv" if "qkv" in attn else "q"]["w"])[:1, :1])
+    merge_ms = round(1e3 * (time.time() - t0), 1)
+    pipe.unet_params = merged
+    t0 = time.time()
+    gen(seed=12345)
+    styled_ms = round(1e3 * (time.time() - t0))
+    pipe.unet_params = base
+    recompiled = (watch._entries() - entries_before) != 0 \
+        if entries_before >= 0 else None
+    _log(f"lora swap: merge {merge_ms} ms, styled gen {styled_ms} ms, "
+         f"recompiled={recompiled}")
+    return {"merge_ms": merge_ms, "styled_gen_ms": styled_ms,
+            "recompiled": recompiled}
+
+
+def bench_superres(watch, budget):
+    """SR post-processing (BASELINE config 'LCM + super-resolution'):
+    one 224→672 luma pass of the sub-pixel CNN as its own XLA program
+    (the reference's super-resolution-10.rknn does the same tile-wise on
+    NPU, lcm_sr_server.py:408-499)."""
+    import numpy as np
+
+    from dreamlab_tpu.models import superres
+    from dreamlab_tpu.models.configs import SuperResConfig
+
+    cfg = SuperResConfig()
+    params = superres.init_params(cfg, np.random.RandomState(0))
+    y = np.random.RandomState(1).rand(224, 224).astype(np.float32)
+    watch.timed("sr_224_to_672",
+                lambda: superres.upscale_luma(params, cfg, y))
+    reps = []
+    for rep in range(3):
+        t0 = time.time()
+        superres.upscale_luma(params, cfg, y)
+        reps.append(round(1e3 * (time.time() - t0), 1))
+        if not budget():
+            break
+    _log(f"superres 224→672: {reps} ms")
+    return {"sr_224_to_672_ms": _median(reps), "reps": reps,
+            "upscale_per_pass": cfg.upscale}
 
 
 def bench_sdxl(watch, budget):
@@ -296,6 +375,12 @@ def main():
     weather = _tunnel_weather()
     sd15 = bench_sd15(watch, budget)
 
+    sr = None
+    if budget():
+        sr = bench_superres(watch, budget)
+    else:
+        _log("budget exhausted before superres section — skipped")
+
     sdxl = None
     if os.environ.get("DREAMLAB_BENCH_SDXL", "1") not in ("0", "false"):
         if budget():
@@ -324,6 +409,7 @@ def main():
         ),
         "detail": {
             "sd15": sd15,
+            "superres": sr,
             "sdxl": sdxl,
             "tunnel": weather,
             "compiles": watch.compiles,

@@ -392,6 +392,16 @@ class WorkerPool:
                 f"{self.mode_cache_size} leaves no room for warm tenants — "
                 "switch modes or raise the cache size"
             )
+        # multi-host serving (RouterPipeline) broadcasts every pipeline call
+        # to all controllers, but a tenant WORKER built here would exist on
+        # process 0 only — its jobs would desync the followers. Refuse.
+        if getattr(
+            getattr(self.worker, "pipeline", None), "_router", None
+        ) is not None:
+            raise ValueError(
+                "per-request mode routing is single-host: a multi-host "
+                "controller set serves one mode (switch modes instead)"
+            )
         mode = self.mode_config.get_mode(mode_name)
         sig = self._mode_signature(mode)
         cached = self._cache_take(mode_name, sig)
