@@ -321,11 +321,21 @@ def bench_sdxl(watch, budget):
     _log(f"sdxl init+transfer {time.time() - t0:.1f}s")
     size = 64 if TINY else 1024
 
-    def gen(steps, gs, seed):
+    def gen(steps, gs, seed, **kw):
         return pipe.generate(
             "a photo of a cat", height=size, width=size,
-            num_inference_steps=steps, guidance_scale=gs, seed=seed,
+            num_inference_steps=steps, guidance_scale=gs, seed=seed, **kw,
         )
+
+    def compute_only(steps, gs, n):
+        """n gens queued back-to-back, one sync — the chip's rate without
+        the tunnel's per-call dispatch/h2d/d2h (same split as SD1.5)."""
+        t0 = time.time()
+        last = None
+        for i in range(n):
+            last = gen(steps, gs, 1000 + i, pipelined=True, prefetch=False)
+        _sync(last.images[:1, :1, :1, :1])
+        return (time.time() - t0) / n
 
     out = {}
     watch.timed("sdxl_1024_4step", lambda: gen(4, 1.0, 0))
@@ -336,8 +346,13 @@ def bench_sdxl(watch, budget):
             gen(4, 1.0, rep * 10 + i)
         reps.append(round(1e3 * (time.time() - t0) / 3))
         _log(f"sdxl 4-step rep {rep}: {reps[-1]} ms/img")
+        if not budget():
+            break
     out["lcm4_ms_per_img"] = _median(reps)
     out["lcm4_reps"] = reps
+    if budget():
+        out["lcm4_compute_only_ms"] = round(1e3 * compute_only(4, 1.0, 3))
+        _log(f"sdxl 4-step compute-only: {out['lcm4_compute_only_ms']} ms/img")
 
     if budget():
         watch.timed("sdxl_1024_30step_cfg", lambda: gen(30, 7.5, 0))
@@ -347,8 +362,15 @@ def bench_sdxl(watch, budget):
             gen(30, 7.5, rep + 1)
             reps.append(round(time.time() - t0, 2))
             _log(f"sdxl 30-step CFG rep {rep}: {reps[-1]} s/img")
+            if not budget():
+                break
         out["cfg30_s_per_img"] = _median(reps)
         out["cfg30_reps"] = reps
+        if budget():
+            out["cfg30_compute_only_s"] = round(compute_only(30, 7.5, 2), 2)
+            _log(
+                f"sdxl 30-step compute-only: {out['cfg30_compute_only_s']} s/img"
+            )
         out["cfg30_vs_baseline"] = round(
             SDXL_BASELINE_S_PER_IMG / out["cfg30_s_per_img"], 2
         )
