@@ -259,6 +259,20 @@ def _router_child_main(argv) -> int:
     ))
     assert seed_fp == 5 and len(fp) == 512, (seed_fp, len(fp))
 
+    # ---- SSE streaming through the FULL stack (pool → worker → router):
+    # the worker registers a callback_latents=False hook, followers replay
+    # with a no-op, step events reach the HTTP client from process 0 ----
+    sse_req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/generate/stream",
+        data=(b'{"prompt": "router dryrun", "size": "32x32", '
+              b'"num_inference_steps": 2, "seed": 5}'),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(sse_req, timeout=120) as resp:
+        sse_body = resp.read().decode()
+    assert sse_body.count("event: progress") == 2, sse_body[:400]
+    assert "event: result" in sse_body and "image_b64" in sse_body
+
     # ---- progress callbacks (the /generate/stream form) across hosts ----
     fired = []
     pk = dict(height=32, width=32, num_inference_steps=2, seed=5)
@@ -362,8 +376,8 @@ def _router_child_main(argv) -> int:
     loop.call_soon_threadsafe(loop.stop)
     print(
         f"dryrun_router ok: processes={n_proc} global_devices={n_global} "
-        f"served=19 fingerprint=512B features=progress,img2img,controlnet,"
-        f"segments,lora,reject-resilience deterministic=True",
+        f"served=22 fingerprint=512B features=sse,progress,img2img,"
+        f"controlnet,segments,lora,reject-resilience deterministic=True",
         flush=True,
     )
     return 0
