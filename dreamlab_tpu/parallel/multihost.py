@@ -259,6 +259,18 @@ def _router_child_main(argv) -> int:
     ))
     assert seed_fp == 5 and len(fp) == 512, (seed_fp, len(fp))
 
+    # ---- coalesced batches ride the router: the worker's batched call
+    # carries explicit per-row latents + step noises (each row from its own
+    # seed), so batching must not change any request's bytes ----
+    solo = [w.run_job(GenSpec(
+        prompt="router dryrun", size="32x32", num_inference_steps=2, seed=s,
+    )) for s in (41, 42)]
+    batched = w.run_jobs([GenSpec(
+        prompt="router dryrun", size="32x32", num_inference_steps=2, seed=s,
+    ) for s in (41, 42)])
+    assert [b[0] for b in batched] == [s[0] for s in solo], \
+        "batched rows != solo runs through the router"
+
     # ---- SSE streaming through the FULL stack (pool → worker → router):
     # the worker registers a callback_latents=False hook, followers replay
     # with a no-op, step events reach the HTTP client from process 0 ----
@@ -376,7 +388,7 @@ def _router_child_main(argv) -> int:
     loop.call_soon_threadsafe(loop.stop)
     print(
         f"dryrun_router ok: processes={n_proc} global_devices={n_global} "
-        f"served=22 fingerprint=512B features=sse,progress,img2img,"
+        f"served=25 fingerprint=512B features=batch,sse,progress,img2img,"
         f"controlnet,segments,lora,reject-resilience deterministic=True",
         flush=True,
     )
