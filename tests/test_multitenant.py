@@ -157,6 +157,34 @@ def test_pinned_mode_survives_queued_switch(tmp_path):
         pool.shutdown()
 
 
+def test_tenant_switch_interleaving(tmp_path):
+    """Tenant jobs interleaved with a switch TO that tenant: the first job
+    builds the tenant, the switch promotes the SAME worker to active, and
+    a later pinned job resolves to it — exactly one build ever happens."""
+    from dreamlab_tpu.engine.worker_pool import CustomJob
+
+    pool = make_pool(tmp_path, cache_size=3)
+    try:
+        gate = threading.Event()
+        pool.submit_job(CustomJob(lambda w: gate.wait(5)))
+        f1 = pool.submit_job(GenerationJob(GenSpec(prompt="x", mode="beta")))
+        sw = pool.switch_mode("beta")
+        f2 = pool.submit_job(GenerationJob(GenSpec(prompt="y", mode="beta")))
+        gate.set()
+        f1.result(timeout=10)
+        sw.result(timeout=10)
+        f2.result(timeout=10)
+        betas = [w for w in pool._created if "beta" in w.model_path]
+        assert len(betas) == 1, "tenant rebuilt across promotion"
+        assert len(betas[0].jobs) == 2
+        assert pool.current_mode == "beta"
+        # the now-active mode cannot be evicted out from under traffic
+        with pytest.raises(ValueError, match="active"):
+            pool.evict_mode("beta")
+    finally:
+        pool.shutdown()
+
+
 def test_mixed_mode_jobs_do_not_share_batches(tmp_path):
     from tests.test_engine import BatchingFakeWorker
 
