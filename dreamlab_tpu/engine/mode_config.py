@@ -101,6 +101,29 @@ class ModeConfig:
     def default_guidance(self) -> Optional[float]:
         return self.defaults.get("guidance")
 
+    def warmup_buckets(self) -> List[tuple]:
+        """Extra (width, height, steps) compile buckets to pre-warm at mode
+        load — ``defaults.warmup_buckets: ["768x768:4", "512x512"]`` in
+        modes.yaml (steps defaults to the mode's default steps, then 4).
+        With the persistent compile cache each is a disk load, so a
+        latency-sensitive deployment moves ALL its serving shapes off the
+        request path, not just the default bucket."""
+        out = []
+        for item in self.defaults.get("warmup_buckets") or []:
+            size, _, steps = str(item).partition(":")
+            w, _, h = size.lower().partition("x")
+            try:
+                out.append((
+                    int(w), int(h),
+                    int(steps or self.default_steps() or 4),
+                ))
+            except ValueError:
+                logger.warning(
+                    "mode %s: bad warmup_buckets entry %r (want 'WxH[:steps]')",
+                    self.name, item,
+                )
+        return out
+
 
 class ModeConfigError(Exception):
     pass

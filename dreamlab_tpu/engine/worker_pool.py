@@ -236,6 +236,28 @@ class WorkerPool:
                     pipeline.warmup(h, w, steps=mode.default_steps() or 4)
                 except Exception:
                     logger.exception("mode %s warmup failed", mode_name)
+            # extra buckets (defaults.warmup_buckets) warm in the
+            # BACKGROUND: the switch completes and the default bucket
+            # serves immediately; the other shapes arrive warm moments
+            # later (each is a compile-cache disk load). Concurrent
+            # compile of a distinct bucket is safe — worst case a bucket
+            # requested mid-warmup traces twice.
+            extra = mode.warmup_buckets() if hasattr(
+                mode, "warmup_buckets") else []
+            if pipeline is not None and extra:
+                def _warm_extra(pipeline=pipeline, extra=extra):
+                    for (bw, bh, bs) in extra:
+                        try:
+                            pipeline.warmup(bh, bw, steps=bs)
+                        except Exception:
+                            logger.exception(
+                                "mode %s background warmup %dx%d failed",
+                                mode_name, bw, bh,
+                            )
+                threading.Thread(
+                    target=_warm_extra, name=f"warmup-{mode_name}",
+                    daemon=True,
+                ).start()
         hbm = max(self.registry.get_used_hbm() - used_before, 0)
         if hbm == 0:
             hbm = self.registry.estimate_model_hbm(mode.model)

@@ -244,6 +244,48 @@ def test_mixed_mode_jobs_do_not_share_batches(tmp_path):
         pool.shutdown()
 
 
+def test_mode_warmup_buckets(tmp_path):
+    """defaults.warmup_buckets pre-compiles extra shape buckets in the
+    background at mode load, so a deployment's non-default sizes never
+    compile on the request path."""
+    import jax.numpy as jnp
+
+    from dreamlab_tpu.engine.tpu_worker import TPUPipelineWorker
+    from dreamlab_tpu.pipeline import LCMPipeline
+    from dreamlab_tpu.testing import random_bundle
+
+    pipe = LCMPipeline(random_bundle("sd15", tiny=True), dtype=jnp.float32)
+    cfg_yaml = {
+        "model_root": "/tmp", "default_mode": "tiny",
+        "modes": {"tiny": {
+            "model": "a",
+            "defaults": {"warmup_buckets": ["32x32:2", "64x64:3"]},
+        }},
+    }
+    path = tmp_path / "modes.yaml"
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg_yaml, f)
+    pool = WorkerPool(
+        queue_max=4,
+        worker_factory=lambda i, p: TPUPipelineWorker(pipe, i),
+        mode_config=ModeConfigManager(str(path)),
+        registry=ModelRegistry(total_hbm_bytes=16 << 30),
+    )
+    try:
+        # tiny VAE scale is 2: 32x32 → 16x16 latents, 64x64 → 32x32
+        want = {(1, 16, 16, 2), (1, 32, 32, 3)}
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            have = {k[:4] for k in pipe._compiled}
+            if want <= have:
+                break
+            time.sleep(0.2)
+        assert want <= {k[:4] for k in pipe._compiled}, (
+            want, set(pipe._compiled))
+    finally:
+        pool.shutdown()
+
+
 def test_rest_tenant_generate(tmp_path):
     """End-to-end: /generate with {"mode": "tiny2"} serves from a warm
     tenant (X-Mode: tiny2) while the active mode stays tiny — and the
