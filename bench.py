@@ -80,51 +80,68 @@ class CacheWatch:
         return out
 
 
-def _tunnel_weather(timeout_s: float = 60.0):
+def _tunnel_weather(timeout_s: float = 120.0):
     """Measure the tunnel directly: sync round-trip and h2d/d2h bandwidth on
     a 6 MB buffer (the size of one batch-8 uint8 image fetch).
 
     Runs in a worker thread with a deadline: a wedged tunnel session must
     degrade this to a diagnostic, not hang the whole bench before any
-    number is produced."""
+    number is produced. The probe is the process's FIRST backend touch, so
+    it records which PHASE it reached — 'init' means backend/tunnel init
+    ate the timebox (not necessarily a stall; a recorded phase of 'h2d' or
+    later means the link itself was slow)."""
     import threading
 
     out = {}
 
     def probe():
-        import numpy as np
+        try:
+            import numpy as np
 
-        import jax
-        import jax.numpy as jnp
+            import jax
+            import jax.numpy as jnp
 
-        dev = jax.devices()[0]
-        buf = np.zeros((8, 512, 512, 3), np.uint8)
-        t0 = time.time()
-        dbuf = jax.device_put(buf, dev)
-        _sync(dbuf[:1, :1, :1, :1])
-        h2d_s = time.time() - t0
-        t0 = time.time()
-        np.asarray(dbuf)
-        d2h_s = time.time() - t0
-        one = jax.device_put(jnp.zeros((), jnp.float32), dev)
-        t0 = time.time()
-        for _ in range(5):
-            np.asarray(one)
-        rt_ms = (time.time() - t0) / 5 * 1e3
-        mb = buf.nbytes / 1e6
-        out.update({
-            "h2d_mb_s": round(mb / max(h2d_s, 1e-9), 1),
-            "d2h_mb_s": round(mb / max(d2h_s, 1e-9), 1),
-            "sync_roundtrip_ms": round(rt_ms, 1),
-        })
+            out["phase"] = "init"
+            dev = jax.devices()[0]
+            buf = np.zeros((8, 512, 512, 3), np.uint8)
+            out["phase"] = "h2d"
+            t0 = time.time()
+            dbuf = jax.device_put(buf, dev)
+            _sync(dbuf[:1, :1, :1, :1])
+            h2d_s = time.time() - t0
+            out["phase"] = "d2h"
+            t0 = time.time()
+            np.asarray(dbuf)
+            d2h_s = time.time() - t0
+            out["phase"] = "sync"
+            one = jax.device_put(jnp.zeros((), jnp.float32), dev)
+            t0 = time.time()
+            for _ in range(5):
+                np.asarray(one)
+            rt_ms = (time.time() - t0) / 5 * 1e3
+            mb = buf.nbytes / 1e6
+            out.update({
+                "phase": "done",
+                "h2d_mb_s": round(mb / max(h2d_s, 1e-9), 1),
+                "d2h_mb_s": round(mb / max(d2h_s, 1e-9), 1),
+                "sync_roundtrip_ms": round(rt_ms, 1),
+            })
+        except Exception as e:  # a dead tunnel is a diagnostic, not a crash
+            out["error"] = f"probe failed during {out.get('phase')}: {e!r}"
 
     _log("tunnel weather probe...")
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(timeout_s)
     if t.is_alive():
-        _log(f"tunnel weather probe still blocked after {timeout_s:.0f}s")
-        return {"error": f"probe exceeded {timeout_s:.0f}s (tunnel stalled)"}
+        phase = out.get("phase", "startup")
+        _log(f"tunnel weather probe still in phase {phase!r} after "
+             f"{timeout_s:.0f}s")
+        return {"error": f"probe exceeded {timeout_s:.0f}s during {phase!r}",
+                "phase": phase}
+    if "error" in out or "h2d_mb_s" not in out:
+        _log(f"tunnel weather probe failed: {out}")
+        return out or {"error": "probe produced nothing"}
     _log(f"tunnel: h2d {out['h2d_mb_s']} MB/s, "
          f"d2h {out['d2h_mb_s']} MB/s, sync {out['sync_roundtrip_ms']} ms")
     return out
@@ -248,21 +265,15 @@ def _bench_lora_swap(pipe, gen, watch):
     are jit ARGUMENTS, so the swap must not recompile — the reference
     reloads the whole pipeline to change adapters (modes.yaml switch,
     README.md:394-397)."""
-    import numpy as np
-
     from dreamlab_tpu import lora as lora_mod
+    from dreamlab_tpu.testing import tiny_lora_state_dict
 
     attn = pipe.unet_params["down"][0]["attentions"][0]["blocks"][0]["attn1"]
     wq = attn["qkv"]["w"] if "qkv" in attn else attn["q"]["w"]
-    c, rank = int(wq.shape[0]), 8
-    rs = np.random.RandomState(0)
-    key = ("lora_unet_down_blocks_0_attentions_0_transformer_blocks_0"
-           "_attn1_to_q")
-    tensors = lora_mod.parse_lora_state_dict({
-        f"{key}.lora_down.weight": rs.randn(rank, c).astype(np.float32),
-        f"{key}.lora_up.weight": rs.randn(c, rank).astype(np.float32),
-        f"{key}.alpha": np.array(rank, np.float32),
-    })
+    c = int(wq.shape[0])
+    tensors = lora_mod.parse_lora_state_dict(
+        tiny_lora_state_dict(c, rank=8)
+    )
     base = pipe.unet_params
     entries_before = watch._entries()
     t0 = time.time()

@@ -158,7 +158,14 @@ class TPUPipelineWorker:
         scale = sdef.strength_for_level(level)
         t0 = time.time()
         if broadcast is not None:
-            broadcast(sdef.path, scale)
+            try:
+                broadcast(sdef.path, scale)
+            except Exception:
+                # a failed fleet merge restores BASE weights everywhere
+                # (multihost_router._apply_lora_sync) — track that, or a
+                # retry of the previous style would no-op on base weights
+                self._active = (None, 0)
+                raise
         else:
             if sdef.path not in self._style_cache:
                 self._style_cache[sdef.path] = load_lora(sdef.path)

@@ -236,12 +236,26 @@ class WorkerPool:
                     pipeline.warmup(h, w, steps=mode.default_steps() or 4)
                 except Exception:
                     logger.exception("mode %s warmup failed", mode_name)
-            # extra buckets (defaults.warmup_buckets) warm in the
-            # BACKGROUND: the switch completes and the default bucket
-            # serves immediately; the other shapes arrive warm moments
-            # later (each is a compile-cache disk load). Concurrent
-            # compile of a distinct bucket is safe — worst case a bucket
-            # requested mid-warmup traces twice.
+        hbm = max(self.registry.get_used_hbm() - used_before, 0)
+        if hbm == 0:
+            hbm = self.registry.estimate_model_hbm(mode.model)
+        self.registry.register_model(
+            name=mode_name,
+            model_path=mode.model,
+            worker_id=0,
+            hbm_bytes=hbm,
+            loras=[l.display_name for l in mode.loras],
+        )
+        # extra buckets (defaults.warmup_buckets) warm in the BACKGROUND,
+        # started only AFTER the HBM delta above is snapshotted so their
+        # allocations are never mis-attributed to this (or a concurrently
+        # loading) worker's footprint. The switch completes and the default
+        # bucket serves immediately; the other shapes arrive warm moments
+        # later (each is a compile-cache disk load). Concurrent compile of
+        # a distinct bucket is safe — worst case a bucket requested
+        # mid-warmup traces twice.
+        if os.environ.get("WARMUP", "1") not in ("0", "false", "False"):
+            pipeline = getattr(worker, "pipeline", None)
             extra = mode.warmup_buckets() if hasattr(
                 mode, "warmup_buckets") else []
             if pipeline is not None and extra:
@@ -258,16 +272,6 @@ class WorkerPool:
                     target=_warm_extra, name=f"warmup-{mode_name}",
                     daemon=True,
                 ).start()
-        hbm = max(self.registry.get_used_hbm() - used_before, 0)
-        if hbm == 0:
-            hbm = self.registry.estimate_model_hbm(mode.model)
-        self.registry.register_model(
-            name=mode_name,
-            model_path=mode.model,
-            worker_id=0,
-            hbm_bytes=hbm,
-            loras=[l.display_name for l in mode.loras],
-        )
         return worker
 
     # ------------------------------------------------------------------
@@ -395,14 +399,21 @@ class WorkerPool:
     def multi_tenant(self) -> bool:
         return self.mode_cache_size > 1
 
-    def _worker_for_job(self, job: Job):
-        """Resolve the worker that executes ``job`` (pool thread only)."""
+    def _worker_for_job(self, job: Job, before_build=None):
+        """Resolve the worker that executes ``job`` (pool thread only).
+
+        ``before_build`` runs immediately before any COLD tenant load —
+        the caller settles in-flight futures there so they aren't held
+        hostage to a model load, while warm-cache hits keep pipelining.
+        Checking inside the resolution (not before it) closes the race
+        where a modes.yaml reload between a warm-check and the load turns
+        a 'warm' hit into a silent rebuild."""
         spec_mode = getattr(getattr(job, "spec", None), "mode", None)
         if not spec_mode or spec_mode == self.current_mode:
             return self.worker
-        return self._tenant_worker(spec_mode)
+        return self._tenant_worker(spec_mode, before_build=before_build)
 
-    def _tenant_worker(self, mode_name: str):
+    def _tenant_worker(self, mode_name: str, before_build=None):
         """Warm resident worker for a non-active mode, loading on first use.
 
         The active worker is never evicted for a tenant; tenants compete
@@ -431,6 +442,8 @@ class WorkerPool:
             with self._state_lock:
                 self._mode_cache[mode_name] = (sig, cached)  # touch: MRU
             return cached
+        if before_build is not None:
+            before_build()
         self._evict_until_fits(mode.model)
         t0 = time.time()
         worker = self._build_worker(mode_name, mode)
@@ -442,16 +455,6 @@ class WorkerPool:
             mode_name, time.time() - t0, self.current_mode,
         )
         return worker
-
-    def _tenant_is_warm(self, mode_name: str) -> bool:
-        """True if a signature-valid warm worker exists (no side effects)."""
-        try:
-            sig = self._mode_signature(self.mode_config.get_mode(mode_name))
-        except Exception:
-            return False
-        with self._state_lock:
-            entry = self._mode_cache.get(mode_name)
-        return entry is not None and entry[0] == sig
 
     # ------------------------------------------------------------------
     def _start_worker_thread(self):
@@ -589,21 +592,13 @@ class WorkerPool:
                     continue
 
                 # multi-tenant: route to the spec's mode (active by default).
-                # Resolution may LOAD a cold tenant — finish in-flight work
-                # first so its futures aren't held hostage to a model load.
-                # Warm tenants skip the settle: steady same-tenant traffic
-                # keeps the d2h/encode-behind-compute pipelining.
+                # A COLD tenant load settles in-flight work first (futures
+                # must not be held hostage to a model load); warm tenants
+                # keep the d2h/encode-behind-compute pipelining.
                 try:
-                    spec_mode = getattr(
-                        getattr(job, "spec", None), "mode", None
+                    worker = self._worker_for_job(
+                        job, before_build=settle_inflight
                     )
-                    if (
-                        spec_mode
-                        and spec_mode != self.current_mode
-                        and not self._tenant_is_warm(spec_mode)
-                    ):
-                        settle_inflight()
-                    worker = self._worker_for_job(job)
                 except Exception as e:
                     logger.exception("job %s mode resolution failed",
                                      job.job_id)

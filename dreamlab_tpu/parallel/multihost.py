@@ -344,17 +344,15 @@ def _router_child_main(argv) -> int:
 
     from safetensors.numpy import save_file as _st_save
 
-    rs = np.random.RandomState(0)
-    rank, c = 4, bundle.unet_cfg.cross_attention_dim
-    lora_path = os.path.join(_tf.gettempdir(), f"router_lora_{coordinator.split(':')[1]}.safetensors")
-    _st_save({
-        "lora_unet_down_blocks_0_attentions_0_transformer_blocks_0_attn1_to_q.lora_down.weight":
-            rs.randn(rank, c).astype(np.float32),
-        "lora_unet_down_blocks_0_attentions_0_transformer_blocks_0_attn1_to_q.lora_up.weight":
-            rs.randn(c, rank).astype(np.float32),
-        "lora_unet_down_blocks_0_attentions_0_transformer_blocks_0_attn1_to_q.alpha":
-            np.array(rank, np.float32),
-    }, lora_path)
+    from ..testing import tiny_lora_state_dict
+
+    lora_path = os.path.join(
+        _tf.gettempdir(),
+        f"router_lora_{coordinator.split(':')[1]}.safetensors",
+    )
+    _st_save(
+        tiny_lora_state_dict(bundle.unet_cfg.cross_attention_dim), lora_path
+    )
     lk = dict(height=32, width=32, num_inference_steps=2, seed=13)
     base_img = rp.generate("router dryrun", **lk)
     rp.apply_lora(lora_path, 1.0)
@@ -365,6 +363,17 @@ def _router_child_main(argv) -> int:
     restored = rp.generate("router dryrun", **lk)
     assert np.array_equal(base_img.images, restored.images), \
         "LoRA restore did not recover base weights"
+
+    # a merge that fails votes across controllers, restores base weights
+    # fleet-wide, and surfaces loudly — weights never diverge silently
+    try:
+        rp.apply_lora("/nonexistent/adapter.safetensors", 1.0)
+        raise AssertionError("missing adapter must fail the request")
+    except RuntimeError:
+        pass
+    after_fail = rp.generate("router dryrun", **lk)
+    assert np.array_equal(after_fail.images, base_img.images), \
+        "failed merge left non-base weights behind"
 
     # raw weight swaps still refuse loudly: they'd apply on process 0 only
     try:
@@ -388,8 +397,9 @@ def _router_child_main(argv) -> int:
     loop.call_soon_threadsafe(loop.stop)
     print(
         f"dryrun_router ok: processes={n_proc} global_devices={n_global} "
-        f"served=25 fingerprint=512B features=batch,sse,progress,img2img,"
-        f"controlnet,segments,lora,reject-resilience deterministic=True",
+        f"served=27 fingerprint=512B features=batch,sse,progress,img2img,"
+        f"controlnet,segments,lora,lora-vote,reject-resilience "
+        f"deterministic=True",
         flush=True,
     )
     return 0

@@ -217,7 +217,32 @@ class RouterPipeline:
                 "op": "lora", "pipe": self._pipe_id,
                 "path": path, "scale": float(scale),
             })
-        self._apply_lora_local(path, float(scale))
+        self._apply_lora_sync(path, float(scale))
+
+    def _apply_lora_sync(self, path: Optional[str], scale: float) -> None:
+        """Apply locally, then VOTE: a merge that fails on any controller
+        (file missing on one host's disk, corrupt download) must not leave
+        the fleet with divergent weights — every controller all-gathers a
+        success flag, and on any failure ALL of them restore base weights
+        before the error surfaces. Serving stays bit-consistent; the
+        client's request fails loudly."""
+        ok = 1
+        try:
+            self._apply_lora_local(path, scale)
+        except Exception:
+            logger.exception("LoRA merge of %r failed on this controller",
+                             path)
+            ok = 0
+        oks = np.asarray(self._router._mh.process_allgather(
+            np.asarray([ok], np.int32)
+        )).reshape(-1)
+        if int(oks.min()) == 0:
+            self._apply_lora_local(None, 0.0)  # fleet-wide restore
+            raise RuntimeError(
+                f"LoRA merge of {path!r} failed on "
+                f"{int((oks == 0).sum())}/{oks.size} controller(s); base "
+                "weights restored fleet-wide"
+            )
 
     def _apply_lora_local(self, path: Optional[str], scale: float) -> None:
         if path is None:
@@ -349,36 +374,46 @@ class RouterPipeline:
         registered on this router (base + refiner in an ensemble). Returns
         the number of messages served.
 
-        Errors are caught per-message, mirroring process 0's per-job catch
-        in the worker pool: a request that fails ARGUMENT VALIDATION (bad
-        strength, missing ControlNet, …) raises the same exception on every
-        controller BEFORE any collective — process 0 answers 4xx and keeps
-        serving, so followers must keep serving too, or the next
-        broadcast_one_to_all would block forever against a dead
-        participant. (A failure INSIDE a collective is not survivable
-        either way — that is a runtime fault, not a request fault.)"""
+        Error policy, per op:
+
+        - ``call``: caught and logged — a request that fails ARGUMENT
+          VALIDATION (bad strength, missing ControlNet, …) raises the same
+          exception on every controller BEFORE any collective; process 0
+          answers 4xx and keeps serving, so followers keep serving too.
+          (A failure INSIDE a collective is not survivable either way —
+          that is a runtime fault, not a request fault.)
+        - ``lora``: the merge VOTES across controllers; a partial failure
+          restores base weights fleet-wide (weights stay bit-consistent)
+          and the resulting error is caught here like a call error.
+        - unknown ops are FATAL: process 0 executed something this
+          controller doesn't understand (version skew between hosts), so
+          continuing would silently desynchronize state."""
         served = 0
         router = self._router
         while True:
             msg = router.recv_message()
             if msg is None:
                 return served
+            op = msg.get("op")
+            if op not in ("call", "lora"):
+                raise ValueError(
+                    f"unknown router op {op!r} — controller version skew?"
+                )
             try:
                 pipe = router.pipes[msg.get("pipe", "base")]
-                if msg["op"] == "call":
+                if op == "call":
                     pipe._execute(
                         msg["method"], msg["kw"],
                         progress=msg.get("progress"),
                         carry=bool(msg.get("carry")),
                     )
-                elif msg["op"] == "lora":
-                    pipe._apply_lora_local(msg["path"], msg["scale"])
                 else:
-                    raise ValueError(f"unknown router op {msg['op']!r}")
+                    pipe._apply_lora_sync(msg["path"], msg["scale"])
             except Exception:
                 logger.exception(
                     "follower: message %s failed (process 0 fails the same "
-                    "request; continuing)", msg.get("op"),
+                    "request; weights remain fleet-consistent; continuing)",
+                    op,
                 )
             served += 1
 

@@ -84,6 +84,20 @@ def random_bundle(arch: str = "sd15", *, tiny: bool = False, seed: int = 0) -> P
     raise ValueError(f"unknown arch {arch}")
 
 
+def tiny_lora_state_dict(c: int, *, rank: int = 4, seed: int = 0):
+    """Kohya-format single-module LoRA targeting down.0's attn1.q — the
+    smallest adapter that exercises parse + merge (including the pipeline's
+    packed-qkv layout). ``c`` must match the block's channel width."""
+    rs = np.random.RandomState(seed)
+    key = ("lora_unet_down_blocks_0_attentions_0_transformer_blocks_0"
+           "_attn1_to_q")
+    return {
+        f"{key}.lora_down.weight": rs.randn(rank, c).astype(np.float32),
+        f"{key}.lora_up.weight": rs.randn(c, rank).astype(np.float32),
+        f"{key}.alpha": np.array(rank, np.float32),
+    }
+
+
 def random_controlnet(unet_cfg, *, seed: int = 7, zero_taps: bool = False,
                       vae_scale: int = 8):
     """Random ControlNet params matching ``unet_cfg``'s trunk.
