@@ -265,15 +265,16 @@ def _bench_lora_swap(pipe, gen, watch):
     are jit ARGUMENTS, so the swap must not recompile — the reference
     reloads the whole pipeline to change adapters (modes.yaml switch,
     README.md:394-397)."""
+    import tempfile
+
     from dreamlab_tpu import lora as lora_mod
     from dreamlab_tpu.testing import tiny_lora_state_dict
 
     attn = pipe.unet_params["down"][0]["attentions"][0]["blocks"][0]["attn1"]
     wq = attn["qkv"]["w"] if "qkv" in attn else attn["q"]["w"]
     c = int(wq.shape[0])
-    tensors = lora_mod.parse_lora_state_dict(
-        tiny_lora_state_dict(c, rank=8)
-    )
+    sd = tiny_lora_state_dict(c, rank=8)
+    tensors = lora_mod.parse_lora_state_dict(sd)
     base = pipe.unet_params
     entries_before = watch._entries()
     t0 = time.time()
@@ -288,9 +289,41 @@ def _bench_lora_swap(pipe, gen, watch):
     pipe.unet_params = base
     recompiled = (watch._entries() - entries_before) != 0 \
         if entries_before >= 0 else None
+
+    # style FLIP cost through the serving worker (round 5): the first
+    # application merges + caches; later flips to the same (style, level)
+    # must be pointer swaps (<50 ms), not ~1.1 s re-merges — the traffic
+    # pattern of the reference's per-request exclusive-style contract.
+    from safetensors.numpy import save_file
+
+    from dreamlab_tpu.engine.tpu_worker import TPUPipelineWorker
+    from dreamlab_tpu.lora import StyleDef
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "bench_style.safetensors")
+        save_file(sd, path)
+        worker = TPUPipelineWorker(
+            pipe, 0, styles={"bench": StyleDef(name="bench", path=path)}
+        )
+        t0 = time.time()
+        worker._apply_style("bench", 3)
+        first_apply_ms = round(1e3 * (time.time() - t0), 1)
+        worker._apply_style(None, 0)
+        flips = []
+        for _ in range(3):
+            t0 = time.time()
+            worker._apply_style("bench", 3)
+            flips.append(round(1e3 * (time.time() - t0), 2))
+            worker._apply_style(None, 0)
+        worker._merged_clear()
+        pipe.unet_params = base
+    cached_flip_ms = _median(flips)
     _log(f"lora swap: merge {merge_ms} ms, styled gen {styled_ms} ms, "
+         f"first apply {first_apply_ms} ms, cached flip {cached_flip_ms} ms, "
          f"recompiled={recompiled}")
     return {"merge_ms": merge_ms, "styled_gen_ms": styled_ms,
+            "first_apply_ms": first_apply_ms,
+            "cached_flip_ms": cached_flip_ms, "cached_flip_reps": flips,
             "recompiled": recompiled}
 
 
@@ -433,12 +466,27 @@ def main():
         "vs_baseline": round(
             sd15["compute_only_img_per_s"] / BASELINE_IMAGES_PER_SEC, 2
         ),
+        "vs_baseline_compute": round(
+            sd15["compute_only_img_per_s"] / BASELINE_IMAGES_PER_SEC, 2
+        ),
+        "vs_baseline_e2e": round(
+            sd15["img_per_s"] / BASELINE_IMAGES_PER_SEC, 2
+        ),
         "p50_latency_ms": sd15["p50_latency_ms"],
         "e2e_tunnel_img_per_s": sd15["img_per_s"],
         "note": (
             "value = median compute-only throughput (all rounds queued, one "
             "sync, no per-round image d2h); e2e_tunnel includes image d2h "
-            "through the remote-TPU tunnel at detail.tunnel.d2h_mb_s"
+            "through the remote-TPU tunnel at detail.tunnel.d2h_mb_s. "
+            "vs_baseline_compute divides compute-only by the reference's "
+            "e2e CUDA midpoint (0.286 img/s, local PCIe d2h ~free); "
+            "vs_baseline_e2e is the strict e2e-vs-e2e comparison THROUGH "
+            "this rig's tunnel"
+        ),
+        "value_series_note": (
+            "rounds 1-3 reported e2e-through-tunnel as 'value' "
+            "(7.63 / 14.19 / 10.95); from round 4 'value' is compute-only "
+            "— compare e2e_tunnel_img_per_s against the r1-r3 series"
         ),
         "detail": {
             "sd15": sd15,

@@ -16,8 +16,10 @@ from __future__ import annotations
 
 import io
 import logging
+import os
 import threading
 import time
+from collections import OrderedDict
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -122,6 +124,19 @@ class TPUPipelineWorker:
         self._base_unet_params = pipeline.unet_params
         self._active: Tuple[Optional[str], int] = (None, 0)
         self._lock = threading.Lock()
+        # merged-weights LRU: (lora_path, scale) -> (registry_name, pytree).
+        # A styled request flips to a cached merged tree by pointer swap
+        # instead of re-running the on-device merge (~1.1 s for SD1.5) —
+        # the reference's per-request exclusive-style contract
+        # (cuda_worker.py:165-196 + reset at :232) makes alternating
+        # styled/unstyled traffic the common case. HBM-bounded: each entry
+        # is a full UNet weight set, registered with the model registry
+        # under "lora:*" so /api/vram and can_fit() see it.
+        self._merged_cache: "OrderedDict[Tuple[str, float], Tuple[str, object]]" = (
+            OrderedDict()
+        )
+        self._merged_cache_max = int(os.environ.get("DREAMLAB_LORA_CACHE", "2"))
+        self._unet_hbm_bytes: Optional[int] = None
         if warmup:
             w, h = default_size
             pipeline.warmup(h, w)
@@ -167,17 +182,69 @@ class TPUPipelineWorker:
                 self._active = (None, 0)
                 raise
         else:
-            if sdef.path not in self._style_cache:
-                self._style_cache[sdef.path] = load_lora(sdef.path)
-            tensors = self._style_cache[sdef.path]
-            self.pipeline.unet_params = merge_lora_into_tree(
-                self._base_unet_params, tensors.unet, scale
-            )
+            key = (sdef.path, scale)
+            cached = self._merged_cache.get(key)
+            if cached is not None:
+                self._merged_cache.move_to_end(key)
+                self.pipeline.unet_params = cached[1]
+            else:
+                if sdef.path not in self._style_cache:
+                    self._style_cache[sdef.path] = load_lora(sdef.path)
+                tensors = self._style_cache[sdef.path]
+                merged = merge_lora_into_tree(
+                    self._base_unet_params, tensors.unet, scale
+                )
+                self.pipeline.unet_params = merged
+                self._merged_put(key, style, level, merged)
         self._active = (style, level)
         logger.info(
             "style %s level %d (scale %.2f) merged in %.0f ms",
             style, level, scale, 1e3 * (time.time() - t0),
         )
+
+    # ------------------------------------------------------------------
+    def _unet_bytes(self) -> int:
+        if self._unet_hbm_bytes is None:
+            import jax
+
+            self._unet_hbm_bytes = sum(
+                x.size * x.dtype.itemsize
+                for x in jax.tree_util.tree_leaves(self._base_unet_params)
+            )
+        return self._unet_hbm_bytes
+
+    def _merged_put(self, key, style: str, level: int, merged) -> None:
+        """Cache a merged weight set, evicting LRU entries to stay within
+        both the entry cap (DREAMLAB_LORA_CACHE) and HBM headroom."""
+        if self._merged_cache_max <= 0:
+            return
+        from .model_registry import get_model_registry
+
+        registry = get_model_registry()
+        nbytes = self._unet_bytes()
+        while self._merged_cache and (
+            len(self._merged_cache) >= self._merged_cache_max
+            or not registry.can_fit(nbytes)
+        ):
+            _, (victim_name, _) = self._merged_cache.popitem(last=False)
+            registry.unregister_model(victim_name)
+        if len(self._merged_cache) >= self._merged_cache_max or not registry.can_fit(
+            nbytes
+        ):
+            return  # no headroom even after clearing — merge-and-drop
+        name = f"lora:{self.worker_id}:{style}:{level}"
+        registry.register_model(
+            name, model_path=key[0], worker_id=self.worker_id, hbm_bytes=nbytes,
+        )
+        self._merged_cache[key] = (name, merged)
+
+    def _merged_clear(self) -> None:
+        from .model_registry import get_model_registry
+
+        registry = get_model_registry()
+        for name, _ in self._merged_cache.values():
+            registry.unregister_model(name)
+        self._merged_cache.clear()
 
     # ------------------------------------------------------------------
     def _generate(self, spec: GenSpec, *, pipelined: bool = False):
@@ -443,6 +510,7 @@ class TPUPipelineWorker:
 
     # ------------------------------------------------------------------
     def close(self):
+        self._merged_clear()
         self.pipeline = None
         self.refiner = None
         self._base_unet_params = None

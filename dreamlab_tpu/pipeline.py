@@ -211,7 +211,7 @@ class LCMPipeline:
         # per-step progress callbacks: the traced program carries only an
         # int32 token; the host-side registry maps it to the live callable,
         # so one compiled progress bucket serves every callback
-        self._progress_registry: Dict[int, Tuple[Callable, int]] = {}
+        self._progress_registry: Dict[int, Tuple[Callable, int, dict]] = {}
         self._progress_tokens = itertools.count(1)
         self._progress_lock = threading.Lock()
         self.vae_scale = bundle.vae_cfg.scale_factor
@@ -397,14 +397,21 @@ class LCMPipeline:
         ``callback(step, timestep, latents)`` with latents in NCHW
         (rknnlcm.py:601-604); filtering by callback_steps happens here
         (``i % callback_steps == 0``, same rule)."""
+        step = int(step)
         with self._progress_lock:
             entry = self._progress_registry.get(int(token))
-        if entry is None:
-            return
-        cb, every = entry
-        step = int(step)
-        if step % every != 0:
-            return
+            if entry is None:
+                return
+            cb, every, state = entry
+            if step % every != 0:
+                return
+            # ordered=False debug callbacks may deliver steps out of order;
+            # the stream contract is strictly-increasing steps (clients may
+            # render latent previews — a late frame would flash backwards),
+            # so late/duplicate steps are dropped under the lock
+            if step <= state["last"]:
+                return
+            state["last"] = step
         try:
             lat = None
             if latents is not None:
@@ -976,7 +983,9 @@ class LCMPipeline:
             pipelined = False  # callbacks imply synchronous completion
             token = next(self._progress_tokens)
             with self._progress_lock:
-                self._progress_registry[token] = (callback, max(1, callback_steps))
+                self._progress_registry[token] = (
+                    callback, max(1, callback_steps), {"last": -1},
+                )
 
         fn = self._get_compiled(
             bsz, h_lat, w_lat, scan_steps, cfg_mode, rng_mode,

@@ -79,3 +79,39 @@ def test_registry_cleaned_up(pipe):
         callback=lambda i, t, lat: None,
     )
     assert pipe._progress_registry == {}
+
+
+def test_progress_monotonic_drops_late_steps(pipe):
+    """jax.debug.callback(..., ordered=False) may deliver steps out of
+    order; the emit trampoline must monotonize so /generate/stream clients
+    (which may render latent previews) never see a step go backwards."""
+    calls = []
+    token = next(pipe._progress_tokens)
+    with pipe._progress_lock:
+        pipe._progress_registry[token] = (
+            lambda i, t, lat: calls.append(i), 1, {"last": -1},
+        )
+    try:
+        for step in [0, 2, 1, 3, 3, 2, 4]:
+            pipe._progress_emit(token, step, 999)
+    finally:
+        with pipe._progress_lock:
+            pipe._progress_registry.pop(token, None)
+    assert calls == [0, 2, 3, 4]  # late + duplicate steps dropped
+    assert calls == sorted(set(calls))
+
+
+def test_progress_monotonic_respects_callback_steps(pipe):
+    calls = []
+    token = next(pipe._progress_tokens)
+    with pipe._progress_lock:
+        pipe._progress_registry[token] = (
+            lambda i, t, lat: calls.append(i), 2, {"last": -1},
+        )
+    try:
+        for step in [1, 0, 2, 3, 4]:  # 1 filtered by modulo, not recorded
+            pipe._progress_emit(token, step, 999)
+    finally:
+        with pipe._progress_lock:
+            pipe._progress_registry.pop(token, None)
+    assert calls == [0, 2, 4]

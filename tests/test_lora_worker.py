@@ -348,3 +348,102 @@ def test_style_swap_while_batch_in_flight(tmp_path):
     for (png_a, seed_a), (png_b, seed_b) in zip(want, got):
         assert seed_a == seed_b
         assert png_a == png_b, "in-flight batch was affected by a style swap"
+
+
+# ---------------------------------------------------------------------------
+# merged-weights LRU cache (round 5: style flips are pointer swaps)
+# ---------------------------------------------------------------------------
+
+
+def _save_style(tmp_path, name, seed):
+    from safetensors.numpy import save_file
+    from dreamlab_tpu.lora import StyleDef
+
+    rs = np.random.RandomState(seed)
+    base = "unet.down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q"
+    path = str(tmp_path / f"{name}.safetensors")
+    save_file({
+        f"{base}.lora_A.weight": rs.randn(2, 32).astype(np.float32),
+        f"{base}.lora_B.weight": rs.randn(32, 2).astype(np.float32),
+    }, path)
+    return StyleDef(name=name, path=path)
+
+
+def _styled_worker(tmp_path, monkeypatch, cache_max=None):
+    from dreamlab_tpu.engine import tpu_worker as tw_mod
+    from dreamlab_tpu.engine.model_registry import reset_model_registry
+
+    if cache_max is not None:
+        monkeypatch.setenv("DREAMLAB_LORA_CACHE", str(cache_max))
+    reset_model_registry()
+    styles = {n: _save_style(tmp_path, n, i) for i, n in
+              enumerate(["vivid", "noir"])}
+    pipe = LCMPipeline(random_bundle("sd15", tiny=True), dtype=jnp.float32)
+    w = TPUPipelineWorker(pipe, worker_id=0, styles=styles)
+    merges = []
+    orig = lora_mod.merge_lora_into_tree
+    monkeypatch.setattr(
+        tw_mod, "merge_lora_into_tree",
+        lambda *a, **k: (merges.append(1), orig(*a, **k))[1],
+    )
+    return w, merges
+
+
+def _spec(style, level=3, seed=1):
+    return GenSpec(prompt="x", size="32x32", num_inference_steps=1,
+                   seed=seed, style=style, style_level=level)
+
+
+def test_lora_merged_cache_hit(tmp_path, monkeypatch):
+    """Second application of a (style, level) reuses the cached merged tree —
+    no re-merge (VERDICT r4 #3: styled/unstyled alternation paid ~1.1 s/flip)."""
+    w, merges = _styled_worker(tmp_path, monkeypatch)
+    w.run_job(_spec("vivid"))          # merge #1 (run_job un-styles after)
+    assert len(merges) == 1
+    w.run_job(_spec("vivid"))          # cache hit: still 1
+    assert len(merges) == 1
+    a, _ = w.run_job(_spec("vivid", seed=42))
+    w.run_job(_spec(None, level=0, seed=5))
+    b, _ = w.run_job(_spec("vivid", seed=42))
+    assert a == b                      # cached tree produces identical bytes
+    w.run_job(_spec("vivid", level=5)) # different scale → merge #2
+    assert len(merges) == 2
+    w.run_job(_spec("vivid", level=3)) # both levels resident (default cap 2)
+    assert len(merges) == 2
+
+
+def test_lora_merged_cache_eviction(tmp_path, monkeypatch):
+    from dreamlab_tpu.engine.model_registry import get_model_registry
+
+    w, merges = _styled_worker(tmp_path, monkeypatch, cache_max=1)
+    w.run_job(_spec("vivid"))
+    assert len(merges) == 1
+    reg = get_model_registry()
+    assert [m.name for m in reg.list_models()] == ["lora:0:vivid:3"]
+    w.run_job(_spec("noir"))           # evicts vivid (cap 1)
+    assert len(merges) == 2
+    assert [m.name for m in reg.list_models()] == ["lora:0:noir:3"]
+    w.run_job(_spec("vivid"))          # re-merge after eviction
+    assert len(merges) == 3
+    w.close()                          # close unregisters cache entries
+    assert [m for m in reg.list_models() if m.name.startswith("lora:")] == []
+
+
+def test_lora_merged_cache_respects_hbm(tmp_path, monkeypatch):
+    """No HBM headroom → merge-and-drop (never cache past can_fit)."""
+    from dreamlab_tpu.engine.model_registry import get_model_registry
+
+    w, merges = _styled_worker(tmp_path, monkeypatch)
+    monkeypatch.setattr(get_model_registry(), "can_fit", lambda n: False)
+    w.run_job(_spec("vivid"))
+    w.run_job(_spec("vivid"))
+    assert len(merges) == 2            # re-merged: nothing was cached
+    assert w._merged_cache == {}
+
+
+def test_lora_merged_cache_disabled(tmp_path, monkeypatch):
+    w, merges = _styled_worker(tmp_path, monkeypatch, cache_max=0)
+    w.run_job(_spec("vivid"))
+    w.run_job(_spec("vivid"))
+    assert len(merges) == 2
+    assert w._merged_cache == {}
