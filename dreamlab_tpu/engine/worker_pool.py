@@ -145,6 +145,12 @@ class WorkerPool:
         self._shutdown = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._state_lock = threading.Lock()
+        # serializes background bucket warmups against worker builds so a
+        # warmup thread's allocations (compile scratch, output buffers) are
+        # never inside a later build's HBM before/after delta window
+        # (ADVICE r4: the delta would inflate that worker's registered
+        # footprint and cause premature LRU eviction of warm tenants)
+        self._hbm_window_lock = threading.Lock()
 
         if load_default:
             self._load_mode(self.mode_config.default_mode)
@@ -197,63 +203,68 @@ class WorkerPool:
         import inspect
         import os
 
-        used_before = self.registry.get_used_hbm()
-        # per-mode extras (LoRAs with strengths, textual inversions, the
-        # mode's ControlNet) pass to factories that accept them — injected
-        # test factories with the plain (worker_id, model_path) signature
-        # still work
-        def accepts(name) -> bool:
-            try:
-                fsig = inspect.signature(self._factory)
-            except (TypeError, ValueError):
-                return False
-            return name in fsig.parameters or any(
-                p.kind is p.VAR_KEYWORD for p in fsig.parameters.values()
-            )
-
-        kwargs = {}
-        if mode.loras and accepts("loras"):
-            kwargs["loras"] = mode.loras
-        if getattr(mode, "embeddings", None) and accepts("embeddings"):
-            kwargs["embeddings"] = mode.embeddings
-        if getattr(mode, "controlnet", None) and accepts("controlnet"):
-            kwargs["controlnet"] = mode.controlnet
-        if getattr(mode, "refiner", None) and accepts("refiner"):
-            kwargs["refiner"] = mode.refiner
-        worker = self._factory(0, mode.model, **kwargs) if kwargs \
-            else self._factory(0, mode.model)
-        # pre-compile the mode's default bucket so the first request after a
-        # switch never compiles (reference budget: 10-20 s total switch,
-        # README.md:394-397; with the persistent cache this is a disk load)
-        if os.environ.get("WARMUP", "1") not in ("0", "false", "False"):
-            pipeline = getattr(worker, "pipeline", None)
-            size = mode.default_size()
-            if pipeline is not None and size:
+        # the whole before-snapshot → after-delta window holds the warmup
+        # lock: a background bucket-warmup thread from an EARLIER build
+        # can't allocate inside it and inflate this worker's footprint
+        with self._hbm_window_lock:
+            used_before = self.registry.get_used_hbm()
+            # per-mode extras (LoRAs with strengths, textual inversions, the
+            # mode's ControlNet) pass to factories that accept them —
+            # injected test factories with the plain (worker_id, model_path)
+            # signature still work
+            def accepts(name) -> bool:
                 try:
-                    from .base import parse_size
+                    fsig = inspect.signature(self._factory)
+                except (TypeError, ValueError):
+                    return False
+                return name in fsig.parameters or any(
+                    p.kind is p.VAR_KEYWORD for p in fsig.parameters.values()
+                )
 
-                    w, h = parse_size(size)
-                    pipeline.warmup(h, w, steps=mode.default_steps() or 4)
-                except Exception:
-                    logger.exception("mode %s warmup failed", mode_name)
-        hbm = max(self.registry.get_used_hbm() - used_before, 0)
-        if hbm == 0:
-            hbm = self.registry.estimate_model_hbm(mode.model)
-        self.registry.register_model(
-            name=mode_name,
-            model_path=mode.model,
-            worker_id=0,
-            hbm_bytes=hbm,
-            loras=[l.display_name for l in mode.loras],
-        )
+            kwargs = {}
+            if mode.loras and accepts("loras"):
+                kwargs["loras"] = mode.loras
+            if getattr(mode, "embeddings", None) and accepts("embeddings"):
+                kwargs["embeddings"] = mode.embeddings
+            if getattr(mode, "controlnet", None) and accepts("controlnet"):
+                kwargs["controlnet"] = mode.controlnet
+            if getattr(mode, "refiner", None) and accepts("refiner"):
+                kwargs["refiner"] = mode.refiner
+            worker = self._factory(0, mode.model, **kwargs) if kwargs \
+                else self._factory(0, mode.model)
+            # pre-compile the mode's default bucket so the first request
+            # after a switch never compiles (reference budget: 10-20 s total
+            # switch, README.md:394-397; with the persistent cache this is a
+            # disk load)
+            if os.environ.get("WARMUP", "1") not in ("0", "false", "False"):
+                pipeline = getattr(worker, "pipeline", None)
+                size = mode.default_size()
+                if pipeline is not None and size:
+                    try:
+                        from .base import parse_size
+
+                        w, h = parse_size(size)
+                        pipeline.warmup(h, w, steps=mode.default_steps() or 4)
+                    except Exception:
+                        logger.exception("mode %s warmup failed", mode_name)
+            hbm = max(self.registry.get_used_hbm() - used_before, 0)
+            if hbm == 0:
+                hbm = self.registry.estimate_model_hbm(mode.model)
+            self.registry.register_model(
+                name=mode_name,
+                model_path=mode.model,
+                worker_id=0,
+                hbm_bytes=hbm,
+                loras=[l.display_name for l in mode.loras],
+            )
         # extra buckets (defaults.warmup_buckets) warm in the BACKGROUND,
-        # started only AFTER the HBM delta above is snapshotted so their
-        # allocations are never mis-attributed to this (or a concurrently
-        # loading) worker's footprint. The switch completes and the default
-        # bucket serves immediately; the other shapes arrive warm moments
-        # later (each is a compile-cache disk load). Concurrent compile of
-        # a distinct bucket is safe — worst case a bucket requested
-        # mid-warmup traces twice.
+        # started only AFTER the HBM delta above is snapshotted; each bucket
+        # additionally holds _hbm_window_lock so its allocations can't land
+        # inside a LATER build's delta window either. The switch completes
+        # and the default bucket serves immediately; the other shapes arrive
+        # warm moments later (each is a compile-cache disk load). Concurrent
+        # compile of a distinct bucket is safe — worst case a bucket
+        # requested mid-warmup traces twice.
         if os.environ.get("WARMUP", "1") not in ("0", "false", "False"):
             pipeline = getattr(worker, "pipeline", None)
             extra = mode.warmup_buckets() if hasattr(
@@ -262,7 +273,12 @@ class WorkerPool:
                 def _warm_extra(pipeline=pipeline, extra=extra):
                     for (bw, bh, bs) in extra:
                         try:
-                            pipeline.warmup(bh, bw, steps=bs)
+                            # per-bucket lock: keeps these allocations out
+                            # of any concurrent build's HBM delta window
+                            # while letting a cold load interleave between
+                            # buckets instead of waiting for the whole list
+                            with self._hbm_window_lock:
+                                pipeline.warmup(bh, bw, steps=bs)
                         except Exception:
                             logger.exception(
                                 "mode %s background warmup %dx%d failed",
@@ -437,6 +453,16 @@ class WorkerPool:
             )
         mode = self.mode_config.get_mode(mode_name)
         sig = self._mode_signature(mode)
+        # a cached worker whose config changed since caching is about to be
+        # disposed by _cache_take — settle in-flight pipelined batches FIRST
+        # (they may be running on that very worker; disposing mid-flight
+        # would also leave the registry under-counting until the batch
+        # settles — ADVICE r4). Cache mutations happen on the pool thread
+        # only, so this peek-then-take has no writer to race.
+        with self._state_lock:
+            entry = self._mode_cache.get(mode_name)
+        if entry is not None and entry[0] != sig and before_build is not None:
+            before_build()
         cached = self._cache_take(mode_name, sig)
         if cached is not None:
             with self._state_lock:
@@ -447,6 +473,19 @@ class WorkerPool:
         self._evict_until_fits(mode.model)
         t0 = time.time()
         worker = self._build_worker(mode_name, mode)
+        # the refusal above sees only the ACTIVE worker; with no active
+        # worker (load_default=False, failed switch) a router-backed
+        # pipeline is only detectable on the freshly built worker — refuse
+        # before returning it, or process 0 would serve alone and desync
+        # the follower controllers (ADVICE r4)
+        if getattr(
+            getattr(worker, "pipeline", None), "_router", None
+        ) is not None:
+            self._dispose_worker(mode_name, worker)
+            raise ValueError(
+                "per-request mode routing is single-host: a multi-host "
+                "controller set serves one mode (switch modes instead)"
+            )
         with self._state_lock:
             self._mode_cache[mode_name] = (sig, worker)
         self._trim_cache()

@@ -235,13 +235,16 @@ def _spec_from_request(req: GenerateRequest, state: ServerState) -> GenSpec:
 
 
 def _apply_mode_defaults(req: GenerateRequest, mode) -> None:
-    """Fill unset fields from the mode's defaults (lcm_sr_server.py:754-765)."""
-    unset = req.model_fields_set
-    if "size" not in unset and mode.default_size():
+    """Fill unset fields from the mode's defaults (lcm_sr_server.py:754-765).
+
+    ``set_fields`` holds the names the CLIENT provided — a field absent from
+    it fell back to the schema default and may be overridden by the mode."""
+    set_fields = req.model_fields_set
+    if "size" not in set_fields and mode.default_size():
         req.size = mode.default_size()
-    if "num_inference_steps" not in unset and mode.default_steps():
+    if "num_inference_steps" not in set_fields and mode.default_steps():
         req.num_inference_steps = int(mode.default_steps())
-    if "guidance_scale" not in unset and mode.default_guidance() is not None:
+    if "guidance_scale" not in set_fields and mode.default_guidance() is not None:
         req.guidance_scale = float(mode.default_guidance())
 
 
@@ -313,9 +316,15 @@ async def run_generate(state: ServerState, req: GenerateRequest,
             applied_scale = spec.controlnet_scale
         elif tenant_mode is not None:
             # the tenant worker's default is its mode's controlnet.scale —
-            # the active worker's default may differ
-            cn = getattr(state.mode_config.get_mode(tenant_mode),
-                         "controlnet", None)
+            # the active worker's default may differ. A modes.yaml hot-reload
+            # can remove the mode between validation and response
+            # construction; the completed generation must not 500 over a
+            # response header (ADVICE r4).
+            try:
+                cn = getattr(state.mode_config.get_mode(tenant_mode),
+                             "controlnet", None)
+            except KeyError:
+                cn = None
             applied_scale = cn.scale if cn else 1.0
         else:
             applied_scale = getattr(

@@ -299,6 +299,44 @@ def test_mode_defaults_applied(client):
     assert resp.status == 200
 
 
+def test_mode_defaults_never_override_user_values():
+    """Unit contract of _apply_mode_defaults (VERDICT r4 weak-6): fields
+    the CLIENT set survive; only schema-defaulted fields take the mode's
+    defaults — asserted in both directions so a set/unset inversion bug
+    (the exact hazard the old `unset` naming invited) cannot land."""
+    from dreamlab_tpu.serving.app import _apply_mode_defaults
+    from dreamlab_tpu.serving.schemas import GenerateRequest
+
+    class FakeMode:
+        def default_size(self):
+            return "256x256"
+
+        def default_steps(self):
+            return 8
+
+        def default_guidance(self):
+            return 2.5
+
+    # user set everything: nothing may change
+    req = GenerateRequest(prompt="x", size="32x32", num_inference_steps=2,
+                          guidance_scale=1.5)
+    _apply_mode_defaults(req, FakeMode())
+    assert (req.size, req.num_inference_steps, req.guidance_scale) == \
+        ("32x32", 2, 1.5)
+
+    # user set nothing: every mode default lands
+    req = GenerateRequest(prompt="x")
+    _apply_mode_defaults(req, FakeMode())
+    assert (req.size, req.num_inference_steps, req.guidance_scale) == \
+        ("256x256", 8, 2.5)
+
+    # mixed: only the unset field moves
+    req = GenerateRequest(prompt="x", size="64x64")
+    _apply_mode_defaults(req, FakeMode())
+    assert req.size == "64x64"
+    assert (req.num_inference_steps, req.guidance_scale) == (8, 2.5)
+
+
 def test_server_config_from_env(monkeypatch, tmp_path):
     from dreamlab_tpu.serving.app import ServerConfig
 
