@@ -107,3 +107,55 @@ def test_fused_groupnorm_padding_path():
         got = fused_group_norm_silu(x, scale, bias, groups=4, silu=False, tile=8)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "h,d,expect_pack",
+    [
+        (8, 40, 2),    # SD1.5: largest divisor of 8 within 128/40 → 2
+        (6, 40, 3),    # 3 heads/block when h divides
+        (10, 64, 2),   # SDXL: 2 heads/block, no dead slots
+        (8, 80, 1),    # narrow fallback: lane width 80, no pad to 128
+        (2, 40, 2),    # pack capped at h
+        (3, 24, 3),    # lane budget allows 5; h's divisors cap at 3
+        (7, 40, 1),    # prime h: no divisor ≤ lane budget → unpacked
+        (2, 20, 2),    # 20 not a multiple of 8 → 128-pad fallback
+    ],
+)
+def test_flash_head_packing_matches_xla(h, d, expect_pack):
+    """Round-5 packed kernel: PACK head-instances share each lane block
+    (independent problems → MXU/VPU overlap, measured ~14% faster at the
+    hot shape — scripts/ab_head_packing.py). Every geometry, including the
+    dead-slot and fallback cases, must match XLA numerics."""
+    from dreamlab_tpu.ops.flash_attention import _pack_geometry
+
+    pack, L, h_pad = _pack_geometry(h, d)
+    if d % 8 == 0 and d <= 64:
+        assert pack == expect_pack
+        assert L == pack * d and h_pad % pack == 0 and h_pad >= h
+    else:
+        assert pack == 1
+
+    rs = np.random.RandomState(7)
+    q, k, v = _rand_qkv(rs, 2, 256, 256, h, d)
+    scale = d**-0.5
+    want = np.asarray(_xla_attention(q, k, v, scale))
+    with pltpu.force_tpu_interpret_mode():
+        from dreamlab_tpu.ops.flash_attention import flash_attention
+
+        got = np.asarray(flash_attention(q, k, v, scale=scale, block_q=128))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_flash_packed_masked_kv_per_head():
+    """kv masking must apply identically to every packed head (a bug that
+    leaked NEG_INF into one lane group would skew exactly one head)."""
+    rs = np.random.RandomState(9)
+    q, k, v = _rand_qkv(rs, 1, 128, 77, 6, 40)  # pack=3, kv 77→128 masked
+    scale = 40**-0.5
+    want = np.asarray(_xla_attention(q, k, v, scale))
+    with pltpu.force_tpu_interpret_mode():
+        from dreamlab_tpu.ops.flash_attention import flash_attention
+
+        got = np.asarray(flash_attention(q, k, v, scale=scale, block_q=128))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
