@@ -60,8 +60,10 @@ vn = jnp.asarray(np.asarray(v4, np.float32).transpose(0, 2, 1, 3)
 
 def kernel_call(q, k, v, lane):
     nq, nk = N // BQ, N // BK
+    # round-5 kernel signature: unpacked (pack=1) at the probe lane width
     kern = functools.partial(
         _flash_kernel, scale=scale, kv_len=None, num_k_blocks=nk, block_k=BK,
+        d=lane, pack=1,
     )
     return pl.pallas_call(
         kern,
@@ -74,9 +76,9 @@ def kernel_call(q, k, v, lane):
         ],
         out_specs=pl.BlockSpec((1, BQ, lane), lambda ib, iq, ik: (ib, iq, 0)),
         scratch_shapes=[
-            pltpu.VMEM((BQ, LANES), jnp.float32),
-            pltpu.VMEM((BQ, LANES), jnp.float32),
-            pltpu.VMEM((BQ, lane), jnp.float32),
+            pltpu.VMEM((1, BQ, lane), jnp.float32),
+            pltpu.VMEM((1, BQ, lane), jnp.float32),
+            pltpu.VMEM((1, BQ, lane), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),

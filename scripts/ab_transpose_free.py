@@ -58,6 +58,10 @@ def flash_attention_4d(q, k, v, *, scale, block_q=512, block_k=1024):
             def __init__(self, ref):
                 self.ref = ref
 
+            @property
+            def dtype(self):
+                return self.ref.dtype
+
             def __getitem__(self, idx):
                 assert idx == 0
                 return self.ref[0, :, 0, :]
