@@ -12,6 +12,15 @@ Risk being measured: strided row DMA (240 B bursts at SD1.5's L=120)
 vs the folded layout's contiguous [bq, L] tiles. The grid pipeline
 prefetches blocks one step ahead either way; if the strided fetch stays
 under the per-step compute time, it is free and the copies are pure win.
+
+RESULT (round 5, v5e): **structurally impossible** — Mosaic requires a
+block's last two dims to be (8-divisible, 128-divisible) or equal to the
+array's; a (1, bq, 1, L) block over [B, N, G, L] puts G (=2..3) in the
+sublane slot and fails lowering ("block shape (1, 512, 1, 120), array
+(8, 4096, 2, 120)"). The [_, N, L] layout — and therefore the ONE fold
+transpose — is forced by the hardware tiling. The ~2 ms/round of fold
+copies in the serving profile are the floor for this op on this
+toolchain; kept for the record.
 """
 
 import functools
