@@ -149,23 +149,39 @@ def _pack_geometry(h: int, d: int):
     return 1, d if d % 8 == 0 else LANES, h
 
 
+def _tuned_blocks(n: int, L: int, block_q: int, block_k: int):
+    """Measured-best block sizes per shape class (r5 packed-kernel sweep
+    on v5e, table in docs/PERFORMANCE.md): long-sequence
+    narrow-lane shapes (SD1.5 N≥4096, L≤80) prefer bq=1024 (5.51 vs
+    5.67 ms); full-lane d=64 shapes (SDXL) prefer bk=2048 (2.63 vs
+    2.71 ms); everything else keeps bq=512/bk=1024 (bq1024+bk2048
+    together exceeds scoped VMEM). Explicit caller values win."""
+    if block_q and block_k:
+        return block_q, block_k
+    if n >= 4096 and L <= 80:
+        return block_q or 1024, block_k or 1024
+    if n >= 4096 and L >= 128:
+        return block_q or 512, block_k or 2048
+    return block_q or 512, block_k or 1024
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
-def flash_attention(q, k, v, *, scale: float, block_q: int = 512,
-                    block_k: int = 1024):
-    # block_q=512/block_k=1024 measured fastest on v5e at SD shapes
-    # (round-3 A/B + round-5 packed re-sweep, docs/PERFORMANCE.md)
+def flash_attention(q, k, v, *, scale: float, block_q: int = 0,
+                    block_k: int = 0):
     """[B, N, H, D] attention via the packed Pallas flash kernel.
 
     N must be a multiple of 128; D ≤ 128; M is padded+masked internally.
-    Returns [B, N, H, D] in q's dtype.
+    Returns [B, N, H, D] in q's dtype. block_q/block_k = 0 picks the
+    r5-sweep-tuned defaults for the shape (see _tuned_blocks).
     """
     b, n, h, d = q.shape
     m = k.shape[1]
     assert d <= LANES, f"head dim {d} > {LANES}"
-    block_q = _fit_block(block_q, n)
-    assert n % block_q == 0, f"query length {n} not a multiple of {LANES}"
 
     pack, L, h_pad = _pack_geometry(h, d)
+    block_q, block_k = _tuned_blocks(n, L, block_q, block_k)
+    block_q = _fit_block(block_q, n)
+    assert n % block_q == 0, f"query length {n} not a multiple of {LANES}"
     d_lane = L // pack  # == d when packing; may be 128 on the fallback
 
     m_pad = ((m + LANES - 1) // LANES) * LANES
