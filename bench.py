@@ -312,6 +312,10 @@ def _bench_lora_swap(pipe, gen, watch):
                ["attn1"]["qkv" if "qkv" in attn else "q"]["w"])[:1, :1])
         first_apply_ms = round(1e3 * (time.time() - t0), 1)
         worker._apply_style(None, 0)
+        # the 0-ms flip claim is only honest if the entry actually cached —
+        # a merge-and-drop path would re-dispatch the full merge async and
+        # time.time() would read only dispatch (the tunnel sync gotcha)
+        cached = len(worker._merged_cache) == 1
         flips = []
         for _ in range(3):
             t0 = time.time()
@@ -322,12 +326,12 @@ def _bench_lora_swap(pipe, gen, watch):
         pipe.unet_params = base
     cached_flip_ms = _median(flips)
     _log(f"lora swap: merge {merge_ms} ms, styled gen {styled_ms} ms, "
-         f"first apply {first_apply_ms} ms, cached flip {cached_flip_ms} ms, "
-         f"recompiled={recompiled}")
+         f"first apply {first_apply_ms} ms, cached flip {cached_flip_ms} ms "
+         f"(entry_cached={cached}), recompiled={recompiled}")
     return {"merge_ms": merge_ms, "styled_gen_ms": styled_ms,
             "first_apply_ms": first_apply_ms,
             "cached_flip_ms": cached_flip_ms, "cached_flip_reps": flips,
-            "recompiled": recompiled}
+            "entry_cached": cached, "recompiled": recompiled}
 
 
 def bench_superres(watch, budget):

@@ -215,28 +215,38 @@ class TPUPipelineWorker:
 
     def _merged_put(self, key, style: str, level: int, merged) -> None:
         """Cache a merged weight set, evicting LRU entries to stay within
-        both the entry cap (DREAMLAB_LORA_CACHE) and HBM headroom."""
+        both the entry cap (DREAMLAB_LORA_CACHE) and HBM headroom.
+
+        Register-then-bound: the merged tree is ALREADY allocated when we
+        get here (merge_lora_into_tree ran), so the right headroom question
+        is "can we afford to KEEP it" — can_fit(0) with the entry
+        registered — not "is there room for a second copy" (which would
+        wrongly drain the cache on large models). On real-HBM-stats
+        backends the allocation is already in get_used_hbm(); on the
+        registered-sum fallback the registration adds it. If the device is
+        over headroom even after evicting older entries, the NEWEST entry
+        (this one) is dropped last and we fall back to merge-and-drop."""
         if self._merged_cache_max <= 0:
             return
         from .model_registry import get_model_registry
 
         registry = get_model_registry()
         nbytes = self._unet_bytes()
-        while self._merged_cache and (
-            len(self._merged_cache) >= self._merged_cache_max
-            or not registry.can_fit(nbytes)
-        ):
-            _, (victim_name, _) = self._merged_cache.popitem(last=False)
-            registry.unregister_model(victim_name)
-        if len(self._merged_cache) >= self._merged_cache_max or not registry.can_fit(
-            nbytes
-        ):
-            return  # no headroom even after clearing — merge-and-drop
         name = f"lora:{self.worker_id}:{style}:{level}"
         registry.register_model(
             name, model_path=key[0], worker_id=self.worker_id, hbm_bytes=nbytes,
         )
         self._merged_cache[key] = (name, merged)
+        while self._merged_cache and (
+            len(self._merged_cache) > self._merged_cache_max
+            or not registry.can_fit(0)
+        ):
+            victim_key, (victim_name, _) = self._merged_cache.popitem(
+                last=False
+            )
+            registry.unregister_model(victim_name)
+            if victim_key == key:
+                break  # dropped self: nothing left this cache can free
 
     def _merged_clear(self) -> None:
         from .model_registry import get_model_registry

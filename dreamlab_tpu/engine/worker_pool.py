@@ -203,11 +203,18 @@ class WorkerPool:
         import inspect
         import os
 
-        # the whole before-snapshot → after-delta window holds the warmup
-        # lock: a background bucket-warmup thread from an EARLIER build
-        # can't allocate inside it and inflate this worker's footprint
-        with self._hbm_window_lock:
-            used_before = self.registry.get_used_hbm()
+        # HBM-delta accounting vs background warmups: a warmup thread's
+        # allocations inside the before/after window would inflate this
+        # worker's footprint (ADVICE r4). But a build must NEVER wait on a
+        # warmup (a cache-missing bucket compiles for minutes — a mode
+        # switch stalling behind it would block the whole pool thread), so
+        # the build takes the window lock NON-blocking: if a warmup is in
+        # flight, skip the delta and use the checkpoint-size estimate —
+        # slightly coarser accounting, zero stall. Warmup threads (the
+        # background, interruptible side) do the blocking instead.
+        got_window = self._hbm_window_lock.acquire(blocking=False)
+        try:
+            used_before = self.registry.get_used_hbm() if got_window else 0
             # per-mode extras (LoRAs with strengths, textual inversions, the
             # mode's ControlNet) pass to factories that accept them —
             # injected test factories with the plain (worker_id, model_path)
@@ -247,7 +254,10 @@ class WorkerPool:
                         pipeline.warmup(h, w, steps=mode.default_steps() or 4)
                     except Exception:
                         logger.exception("mode %s warmup failed", mode_name)
-            hbm = max(self.registry.get_used_hbm() - used_before, 0)
+            hbm = (
+                max(self.registry.get_used_hbm() - used_before, 0)
+                if got_window else 0
+            )
             if hbm == 0:
                 hbm = self.registry.estimate_model_hbm(mode.model)
             self.registry.register_model(
@@ -257,6 +267,9 @@ class WorkerPool:
                 hbm_bytes=hbm,
                 loras=[l.display_name for l in mode.loras],
             )
+        finally:
+            if got_window:
+                self._hbm_window_lock.release()
         # extra buckets (defaults.warmup_buckets) warm in the BACKGROUND,
         # started only AFTER the HBM delta above is snapshotted; each bucket
         # additionally holds _hbm_window_lock so its allocations can't land
@@ -270,15 +283,22 @@ class WorkerPool:
             extra = mode.warmup_buckets() if hasattr(
                 mode, "warmup_buckets") else []
             if pipeline is not None and extra:
-                def _warm_extra(pipeline=pipeline, extra=extra):
+                def _warm_extra(worker=worker, extra=extra):
                     for (bw, bh, bs) in extra:
+                        # re-read per bucket: worker.close() (eviction)
+                        # nulls the pipeline — stop warming a disposed
+                        # worker instead of keeping it alive via the
+                        # closure and serializing later builds for nothing
+                        live = getattr(worker, "pipeline", None)
+                        if live is None:
+                            break
                         try:
                             # per-bucket lock: keeps these allocations out
                             # of any concurrent build's HBM delta window
                             # while letting a cold load interleave between
                             # buckets instead of waiting for the whole list
                             with self._hbm_window_lock:
-                                pipeline.warmup(bh, bw, steps=bs)
+                                live.warmup(bh, bw, steps=bs)
                         except Exception:
                             logger.exception(
                                 "mode %s background warmup %dx%d failed",

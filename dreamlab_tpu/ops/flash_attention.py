@@ -122,7 +122,7 @@ def _fit_block(block: int, n: int) -> int:
 
 
 def _pack_geometry(h: int, d: int):
-    """(pack, lane width L, padded head count).
+    """(pack, lane width L). pack always divides h — no dead head slots.
 
     Packing is per-batch over the head axis (heads are lane-adjacent in
     [B, N, H, D], so the pack fold costs the same single transpose as the
@@ -139,14 +139,10 @@ def _pack_geometry(h: int, d: int):
     code size for tiny test heads; scratch is 3·pack·bq·L·4 B of VMEM,
     which also argues for small pack."""
     if d % 8 == 0 and d <= LANES // 2 and h > 0:
-        pack = 1
         for cand in range(min(LANES // d, h, 8), 1, -1):
             if h % cand == 0:
-                pack = cand
-                break
-        if pack > 1:
-            return pack, pack * d, h
-    return 1, d if d % 8 == 0 else LANES, h
+                return cand, cand * d
+    return 1, d if d % 8 == 0 else LANES
 
 
 def _tuned_blocks(n: int, L: int, block_q: int, block_k: int):
@@ -178,7 +174,7 @@ def flash_attention(q, k, v, *, scale: float, block_q: int = 0,
     m = k.shape[1]
     assert d <= LANES, f"head dim {d} > {LANES}"
 
-    pack, L, h_pad = _pack_geometry(h, d)
+    pack, L = _pack_geometry(h, d)
     block_q, block_k = _tuned_blocks(n, L, block_q, block_k)
     block_q = _fit_block(block_q, n)
     assert n % block_q == 0, f"query length {n} not a multiple of {LANES}"
@@ -194,11 +190,9 @@ def flash_attention(q, k, v, *, scale: float, block_q: int = 0,
         # fold — plus a (pack*d → L) lane pad only on the d%8!=0 fallback
         if pad_rows:
             x = jnp.pad(x, ((0, 0), (0, pad_rows), (0, 0), (0, 0)))
-        if h_pad != h:
-            x = jnp.pad(x, ((0, 0), (0, 0), (0, h_pad - h), (0, 0)))
         if d_lane != d:
             x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, d_lane - d)))
-        g = h_pad // pack
+        g = h // pack
         x = x.reshape(b, length + pad_rows, g, L)
         return x.transpose(0, 2, 1, 3).reshape(b * g, length + pad_rows, L)
 
@@ -208,7 +202,7 @@ def flash_attention(q, k, v, *, scale: float, block_q: int = 0,
 
     nq = n // block_q
     nk = m_pad // block_k
-    g = h_pad // pack
+    g = h // pack
 
     kernel = functools.partial(
         _flash_kernel, scale=scale, kv_len=kv_len, num_k_blocks=nk,
@@ -236,5 +230,5 @@ def flash_attention(q, k, v, *, scale: float, block_q: int = 0,
 
     # unfold: [B*G, N, L] → [B, N, H, D] (one transpose, mirror of fold)
     out = out.reshape(b, g, n, pack, d_lane)
-    out = out.transpose(0, 2, 1, 3, 4).reshape(b, n, h_pad, d_lane)
-    return out[:, :, :h, :d]
+    out = out.transpose(0, 2, 1, 3, 4).reshape(b, n, h, d_lane)
+    return out[:, :, :, :d]

@@ -405,20 +405,24 @@ class LCMPipeline:
             cb, every, state = entry
             if step % every != 0:
                 return
-            # ordered=False debug callbacks may deliver steps out of order;
-            # the stream contract is strictly-increasing steps (clients may
-            # render latent previews — a late frame would flash backwards),
-            # so late/duplicate steps are dropped under the lock
+            # ordered=False debug callbacks may deliver steps out of order
+            # AND concurrently; the stream contract is strictly-increasing
+            # steps (clients may render latent previews — a late frame
+            # would flash backwards), so late/duplicate steps are dropped
+            # and cb itself is invoked UNDER the lock — gating outside it
+            # would let a gated-in earlier step overtake a later one
+            # between the gate and the call
             if step <= state["last"]:
                 return
             state["last"] = step
-        try:
-            lat = None
-            if latents is not None:
-                lat = np.asarray(latents).transpose(0, 3, 1, 2)
-            cb(step, int(timestep), lat)
-        except Exception:  # a broken callback must never kill the device loop
-            logger.exception("progress callback failed at step %d", step)
+            try:
+                lat = None
+                if latents is not None:
+                    lat = np.asarray(latents).transpose(0, 3, 1, 2)
+                cb(step, int(timestep), lat)
+            except Exception:
+                # a broken callback must never kill the device loop
+                logger.exception("progress callback failed at step %d", step)
 
     # ------------------------------------------------------------------
     # traced program

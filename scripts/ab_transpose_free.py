@@ -47,8 +47,8 @@ def flash_attention_4d(q, k, v, *, scale, block_q=512, block_k=1024):
     """[B, N, H, D] → packed [B, N, G, L] by pure reshape; no transpose."""
     b, n, h, d = q.shape
     m = k.shape[1]
-    pack, L, h_pad = _pack_geometry(h, d)
-    assert h_pad == h and m == n, "probe: no dead slots / kv pad"
+    pack, L = _pack_geometry(h, d)
+    assert m == n, "probe: no kv pad"
     g = h // pack
 
     def re(x):

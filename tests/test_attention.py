@@ -129,10 +129,10 @@ def test_flash_head_packing_matches_xla(h, d, expect_pack):
     dead-slot and fallback cases, must match XLA numerics."""
     from dreamlab_tpu.ops.flash_attention import _pack_geometry
 
-    pack, L, h_pad = _pack_geometry(h, d)
+    pack, L = _pack_geometry(h, d)
     if d % 8 == 0 and d <= 64:
         assert pack == expect_pack
-        assert L == pack * d and h_pad % pack == 0 and h_pad >= h
+        assert L == pack * d and h % pack == 0  # pack always divides h
     else:
         assert pack == 1
 

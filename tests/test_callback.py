@@ -115,3 +115,40 @@ def test_progress_monotonic_respects_callback_steps(pipe):
         with pipe._progress_lock:
             pipe._progress_registry.pop(token, None)
     assert calls == [0, 2, 4]
+
+
+def test_progress_monotonic_under_concurrency(pipe):
+    """ordered=False callbacks may run CONCURRENTLY; the gate and the
+    delivery are atomic under the lock, so no interleaving can hand the
+    client a step lower than one it already saw (code-review r5: gating
+    outside the lock let a gated-in earlier step overtake a later one
+    between the gate and the call)."""
+    import random
+    import threading
+
+    calls = []
+    token = next(pipe._progress_tokens)
+    with pipe._progress_lock:
+        pipe._progress_registry[token] = (
+            lambda i, t, lat: calls.append(i), 1, {"last": -1},
+        )
+    steps = list(range(200)) * 2  # every step delivered twice
+    random.Random(0).shuffle(steps)
+    chunks = [steps[i::4] for i in range(4)]
+    threads = [
+        threading.Thread(
+            target=lambda ss=ss: [pipe._progress_emit(token, s, 1)
+                                  for s in ss]
+        )
+        for ss in chunks
+    ]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        with pipe._progress_lock:
+            pipe._progress_registry.pop(token, None)
+    assert calls == sorted(calls), "a client saw a step go backwards"
+    assert len(calls) == len(set(calls)), "duplicate step delivered"
