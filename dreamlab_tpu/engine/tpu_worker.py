@@ -232,7 +232,11 @@ class TPUPipelineWorker:
 
         registry = get_model_registry()
         nbytes = self._unet_bytes()
-        name = f"lora:{self.worker_id}:{style}:{level}"
+        # instance-unique tag: multi-tenant pools build every worker with
+        # worker_id=0, so a per-id name would collide across resident
+        # tenants (register_model overwrites; one worker's close() would
+        # silently unregister another's cache accounting)
+        name = f"lora:{self.worker_id}:{id(self):x}:{style}:{level}"
         registry.register_model(
             name, model_path=key[0], worker_id=self.worker_id, hbm_bytes=nbytes,
         )

@@ -419,10 +419,12 @@ def test_lora_merged_cache_eviction(tmp_path, monkeypatch):
     w.run_job(_spec("vivid"))
     assert len(merges) == 1
     reg = get_model_registry()
-    assert [m.name for m in reg.list_models()] == ["lora:0:vivid:3"]
+    names = lambda: [m.name for m in reg.list_models()]
+    assert len(names()) == 1 and names()[0].startswith("lora:0:") \
+        and names()[0].endswith(":vivid:3")
     w.run_job(_spec("noir"))           # evicts vivid (cap 1)
     assert len(merges) == 2
-    assert [m.name for m in reg.list_models()] == ["lora:0:noir:3"]
+    assert len(names()) == 1 and names()[0].endswith(":noir:3")
     w.run_job(_spec("vivid"))          # re-merge after eviction
     assert len(merges) == 3
     w.close()                          # close unregisters cache entries
@@ -447,3 +449,34 @@ def test_lora_merged_cache_disabled(tmp_path, monkeypatch):
     w.run_job(_spec("vivid"))
     assert len(merges) == 2
     assert w._merged_cache == {}
+
+
+def test_lora_merged_cache_two_workers_no_collision(tmp_path, monkeypatch):
+    """Multi-tenant pools build every worker with worker_id=0: two resident
+    workers caching the SAME (style, level) must not collide in the
+    registry, and closing one must not unregister the other's entry."""
+    from dreamlab_tpu.engine.model_registry import (
+        get_model_registry, reset_model_registry,
+    )
+    from dreamlab_tpu.lora import StyleDef
+
+    reset_model_registry()
+    style = _save_style(tmp_path, "vivid", 0)
+    workers = []
+    for _ in range(2):
+        pipe = LCMPipeline(random_bundle("sd15", tiny=True), dtype=jnp.float32)
+        workers.append(TPUPipelineWorker(pipe, worker_id=0,
+                                         styles={"vivid": style}))
+    for w in workers:
+        w.run_job(_spec("vivid"))
+    reg = get_model_registry()
+    lora_names = [m.name for m in reg.list_models()
+                  if m.name.startswith("lora:")]
+    assert len(lora_names) == 2 and len(set(lora_names)) == 2
+    workers[0].close()
+    remaining = [m.name for m in reg.list_models()
+                 if m.name.startswith("lora:")]
+    assert len(remaining) == 1  # the survivor's entry is intact
+    assert len(workers[1]._merged_cache) == 1
+    workers[1].close()
+    assert [m for m in reg.list_models() if m.name.startswith("lora:")] == []
