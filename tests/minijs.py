@@ -461,22 +461,43 @@ class Parser:
         return expr
 
 
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "'": "'", '"': '"',
+            "`": "`", "\\": "\\", "0": "\0", "b": "\b", "f": "\f"}
+
+
 def _unescape(s):
-    return (s.replace("\\n", "\n").replace("\\t", "\t").replace("\\'", "'")
-             .replace('\\"', '"').replace("\\`", "`").replace("\\\\", "\\"))
+    out, i = [], 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "\\" and i + 1 < len(s):
+            nxt = s[i + 1]
+            out.append(_ESCAPES.get(nxt, nxt))
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
 
 
 # ---------------------------------------------------------------------------
 # runtime values
 # ---------------------------------------------------------------------------
 
+def _to_int(x):
+    """JS ToIntegerOrInfinity: NaN -> 0, truncate toward zero."""
+    n = js_number(x)
+    if math.isnan(n) or math.isinf(n):
+        return 0
+    return int(n)
+
+
 def _int32(x):
-    x = int(js_number(x)) & 0xFFFFFFFF
+    x = _to_int(x) & 0xFFFFFFFF
     return x - 0x100000000 if x >= 0x80000000 else x
 
 
 def _uint32(x):
-    return int(js_number(x)) & 0xFFFFFFFF
+    return _to_int(x) & 0xFFFFFFFF
 
 
 def js_number(v):
@@ -641,21 +662,32 @@ class JSDataView:
         self.buf = buf
 
     def getUint32(self, off):
-        o = int(js_number(off))
+        o = _to_int(off)
+        if o < 0 or o + 4 > len(self.buf.data):
+            raise MiniJSError(f"RangeError: getUint32({o}) outside buffer")
         return float(int.from_bytes(self.buf.data[o:o + 4], "big"))
 
     def getUint8(self, off):
-        return float(self.buf.data[int(js_number(off))])
+        o = _to_int(off)
+        if o < 0 or o >= len(self.buf.data):
+            raise MiniJSError(f"RangeError: getUint8({o}) outside buffer")
+        return float(self.buf.data[o])
 
 
 class JSUint8Array:
     def __init__(self, buf, off=0.0, length=None):
         if isinstance(buf, JSArrayBuffer):
-            o = int(js_number(off))
-            n = len(buf.data) - o if length is None else int(js_number(length))
+            o = _to_int(off)
+            n = len(buf.data) - o if length is None else _to_int(length)
+            # browsers throw RangeError on out-of-bounds views; clamping
+            # here would certify robustness the shipped UI doesn't have
+            if o < 0 or n < 0 or o + n > len(buf.data):
+                raise MiniJSError(
+                    f"RangeError: Uint8Array({o}, {n}) outside buffer of "
+                    f"{len(buf.data)} bytes")
             self.data = buf.data[o:o + n]
         else:
-            self.data = bytes(int(js_number(x)) & 0xFF for x in buf)
+            self.data = bytes(_to_int(x) & 0xFF for x in buf)
         self.length = float(len(self.data))
 
     def indexOf(self, v):
@@ -694,8 +726,8 @@ class Interpreter:
             "Math": {"max": lambda *a: max(js_number(x) for x in a),
                      "min": lambda *a: min(js_number(x) for x in a),
                      "abs": lambda x: abs(js_number(x)),
-                     "floor": lambda x: float(math.floor(js_number(x))),
-                     "round": lambda x: float(math.floor(js_number(x) + 0.5)),
+                     "floor": lambda x: (float("nan") if math.isnan(js_number(x)) else float(math.floor(js_number(x))) if not math.isinf(js_number(x)) else js_number(x)),
+                     "round": lambda x: (float("nan") if math.isnan(js_number(x)) else float(math.floor(js_number(x) + 0.5)) if not math.isinf(js_number(x)) else js_number(x)),
                      "random": lambda: 0.5},
             "JSON": {"stringify": js_json_stringify},
             "String": _StringCtor(),
@@ -776,12 +808,20 @@ class Interpreter:
             if stmt[1] is not None:
                 self.exec_stmt(stmt[1], s2)
             while stmt[2] is None or js_truthy(self.eval(stmt[2], s2)):
+                # fresh per-iteration binding (JS let semantics): closures
+                # created in the body must capture THIS iteration's values
+                it_scope = Scope(scope, vars=dict(s2.vars))
                 try:
-                    self.exec_stmt(stmt[4], s2)
+                    self.exec_stmt(stmt[4], it_scope)
                 except _Break:
                     break
                 except _Continue:
                     pass
+                finally:
+                    # body assignments to loop variables propagate back
+                    for k in s2.vars:
+                        if k in it_scope.vars:
+                            s2.vars[k] = it_scope.vars[k]
                 if stmt[3] is not None:
                     self.eval(stmt[3], s2)
         elif op == "forof":
@@ -1048,10 +1088,12 @@ class Interpreter:
                 return obj[key_i] if 0 <= key_i < len(obj) else UNDEFINED
             return _array_member(obj, key, self)
         if isinstance(obj, dict):
-            if key in obj:
+            if isinstance(key, str) and key in obj:
                 return obj[key]
-            if key_i is not None and key_i in obj:
-                return obj[key_i]
+            # JS object keys are strings: o[1] and o['1'] are the same slot
+            skey = js_str(key)
+            if skey in obj:
+                return obj[skey]
             return UNDEFINED
         if isinstance(obj, JSUint8Array) and key_i is not None:
             return (float(obj.data[key_i])
@@ -1064,7 +1106,7 @@ class Interpreter:
 
     def member_set(self, obj, key, value):
         if isinstance(obj, dict):
-            obj[js_str(key) if not isinstance(key, str) else key] = value
+            obj[key if isinstance(key, str) else js_str(key)] = value
         elif isinstance(obj, list):
             i = int(js_number(key))
             while len(obj) <= i:
@@ -1077,6 +1119,11 @@ class Interpreter:
 def _loose_eq(a, b):
     if (a is None or a is UNDEFINED) and (b is None or b is UNDEFINED):
         return True
+    # booleans coerce to numbers first (0 == false, '1' == true)
+    if isinstance(a, bool):
+        return _loose_eq(js_number(a), b)
+    if isinstance(b, bool):
+        return _loose_eq(a, js_number(b))
     if isinstance(a, str) and isinstance(b, (int, float)):
         return js_number(a) == js_number(b)
     if isinstance(b, str) and isinstance(a, (int, float)):
@@ -1085,10 +1132,21 @@ def _loose_eq(a, b):
 
 
 def _parse_int(s, base=10.0):
-    try:
-        return float(int(js_str(s).strip(), int(js_number(base))))
-    except ValueError:
+    text = js_str(s).strip()
+    b = _to_int(base) or 10
+    sign = 1
+    if text[:1] in "+-":
+        sign = -1 if text[0] == "-" else 1
+        text = text[1:]
+    if b == 16 and text[:2].lower() == "0x":
+        text = text[2:]
+    digits = "0123456789abcdefghijklmnopqrstuvwxyz"[:b]
+    i = 0
+    while i < len(text) and text[i].lower() in digits:
+        i += 1
+    if i == 0:
         return float("nan")
+    return float(sign * int(text[:i], b))
 
 
 def _object_assign(target, *sources):
@@ -1099,13 +1157,14 @@ def _object_assign(target, *sources):
 
 
 def _array_from(src, fn=None):
-    items = list(src.data) if isinstance(src, JSUint8Array) else \
-        [float(b) for b in src] if isinstance(src, (bytes, bytearray)) else \
-        list(src)
     if isinstance(src, JSUint8Array):
         items = [float(b) for b in src.data]
+    elif isinstance(src, (bytes, bytearray)):
+        items = [float(b) for b in src]
+    else:
+        items = list(src)
     if fn is not None:
-        items = [fn(x) for x in items]
+        items = [fn(x, float(i)) for i, x in enumerate(items)]
     return items
 
 
@@ -1120,16 +1179,22 @@ class _StringCtor:
         return "".join(chr(int(js_number(c)) & 0xFFFF) for c in codes)
 
 
+def _utf16_units(s):
+    data = s.encode("utf-16-le")
+    return [int.from_bytes(data[i:i + 2], "little")
+            for i in range(0, len(data), 2)]
+
+
 def _string_member(s, key):
     if key == "length":
-        return float(len(s))
+        # JS string length counts UTF-16 code units (surrogate pairs = 2)
+        return float(len(_utf16_units(s)) if any(ord(c) > 0xFFFF for c in s)
+                     else len(s))
     if isinstance(key, float):
         i = int(key)
         return s[i] if 0 <= i < len(s) else UNDEFINED
     table = {
-        "charCodeAt": lambda i=0.0: (float(ord(s[int(js_number(i))]))
-                                     if 0 <= int(js_number(i)) < len(s)
-                                     else float("nan")),
+        "charCodeAt": lambda i=0.0: _char_code_at(s, _to_int(i)),
         "charAt": lambda i=0.0: (s[int(js_number(i))]
                                  if 0 <= int(js_number(i)) < len(s) else ""),
         "indexOf": lambda sub: float(s.find(js_str(sub))),
@@ -1141,10 +1206,12 @@ def _string_member(s, key):
         "toUpperCase": lambda: s.upper(),
         "slice": lambda a=0.0, b=None: s[_slice_idx(a, len(s)):
                                          _slice_idx(b, len(s))
-                                         if b is not None else len(s)],
-        "substring": lambda a=0.0, b=None: s[max(int(js_number(a)), 0):
-                                             max(int(js_number(b)), 0)
-                                             if b is not None else len(s)],
+                                         if b is not None and b is not UNDEFINED
+                                         else len(s)],
+        "substring": lambda a=0.0, b=None: s[max(_to_int(a), 0):
+                                             max(_to_int(b), 0)
+                                             if b is not None and b is not UNDEFINED
+                                             else len(s)],
         "split": lambda sep=UNDEFINED: ([s] if sep is UNDEFINED
                                         else list(s) if sep == ""
                                         else s.split(js_str(sep))),
@@ -1161,8 +1228,20 @@ def _string_member(s, key):
     return table.get(key, UNDEFINED)
 
 
+def _char_code_at(s, i):
+    units = _utf16_units(s) if any(ord(c) > 0xFFFF for c in s) else None
+    if units is not None:
+        return float(units[i]) if 0 <= i < len(units) else float("nan")
+    return float(ord(s[i])) if 0 <= i < len(s) else float("nan")
+
+
 def _slice_idx(v, n):
-    i = int(js_number(v))
+    nn = js_number(v)
+    if math.isnan(nn):
+        return 0
+    if math.isinf(nn):
+        return n if nn > 0 else 0
+    i = int(nn)
     return max(n + i, 0) if i < 0 else min(i, n)
 
 
@@ -1205,7 +1284,8 @@ def _array_member(arr, key, interp):
         "join": lambda sep=",": js_str(sep).join(js_str(x) for x in arr),
         "slice": lambda a=0.0, b=None: arr[_slice_idx(a, len(arr)):
                                            _slice_idx(b, len(arr))
-                                           if b is not None else len(arr)],
+                                           if b is not None and b is not UNDEFINED
+                                           else len(arr)],
         "splice": lambda start, count=None, *items: _splice(
             arr, start, count, items),
         "forEach": lambda fn: _for_each(arr, fn),

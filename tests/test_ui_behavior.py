@@ -79,16 +79,60 @@ def test_minijs_rejects_unknown_syntax():
         Interpreter().run("yield wat;")
 
 
+def test_minijs_coercion_semantics():
+    """The code-review r5 fidelity set: ToInt32 on NaN/Infinity, slice
+    with undefined, loose-equality boolean coercion, parseInt prefix
+    parsing, per-iteration for-let closures, numeric object keys."""
+    it = Interpreter()
+    run = lambda src: it.run(src)
+    assert run("return Number('x') | 0;") == 0.0
+    assert run("return Infinity >>> 0;") == 0.0
+    assert run("return 'hello'.slice(1, undefined);") == "ello"
+    assert run("return 0 == false;") is True
+    assert run("return 1 == true;") is True
+    assert run("return parseInt('512x512');") == 512.0
+    assert run("return parseInt('  -42px');") == -42.0
+    assert run("""
+      let fns = [];
+      for (let i = 0; i < 3; i++) fns.push(() => i);
+      return fns[0]() + ':' + fns[1]() + ':' + fns[2]();
+    """) == "0:1:2"
+    assert run("let o = {}; o[1] = 5; return o[1] + o['1'];") == 10.0
+    # JS string escapes decode positionally: '\\\\t' is backslash + letter t
+    assert run(r"return '\\t'.length;") == 2.0
+    # UTF-16: emoji counts 2 units; charCodeAt yields surrogate halves
+    assert run("return '\U0001F431'.length;") == 2.0
+    assert run("return '\U0001F431'.charCodeAt(0);") == float(0xD83D)
+
+
+def test_minijs_typed_array_bounds_throw():
+    from tests.minijs import JSArrayBuffer
+
+    it = Interpreter()
+    it.run("function f(buf) { return new Uint8Array(buf, 4, 100); }")
+    with pytest.raises(MiniJSError, match="RangeError"):
+        it.call("f", JSArrayBuffer(b"12345678"))
+    it.run("function g(buf) { return new DataView(buf).getUint32(6); }")
+    with pytest.raises(MiniJSError, match="RangeError"):
+        it.call("g", JSArrayBuffer(b"12345678"))
+
+
 # ---------------------------------------------------------------------------
 # cacheKey / djb2
 # ---------------------------------------------------------------------------
 
 
 def _djb2_hex(s: str) -> str:
-    """Independent Python djb2 over UTF-16 code units (JS charCodeAt)."""
+    """Independent Python djb2 over UTF-16 code units (JS charCodeAt):
+    non-BMP characters hash as TWO surrogate units, exactly as in every
+    browser (code-review r5: iterating code points would share a blind
+    spot with any interpreter bug on the same axis)."""
+    data = s.encode("utf-16-le")
+    units = [int.from_bytes(data[i:i + 2], "little")
+             for i in range(0, len(data), 2)]
     h = 5381
-    for ch in s:
-        h = ((((h << 5) + h) & 0xFFFFFFFFFFFFFFFF) ^ ord(ch))
+    for u in units:
+        h = ((((h << 5) + h) & 0xFFFFFFFFFFFFFFFF) ^ u)
         # emulate JS int32 coercion of the ^ result
         h &= 0xFFFFFFFF
         if h >= 0x80000000:
@@ -110,9 +154,26 @@ def test_cache_key_matches_independent_djb2(app_src):
     normalized = {"p": "a cat", "sz": "512x512", "st": 4, "cfg": 1,
                   "sd": 7, "sr": 0, "srf": "", "neg": "", "sty": "",
                   "md": ""}
-    expect = _djb2_hex(json.dumps(normalized, separators=(",", ":")))
+    expect = _djb2_hex(json.dumps(normalized, separators=(",", ":"),
+                                  ensure_ascii=False))
     assert key == expect
     assert len(key) == 8 and int(key, 16) >= 0
+
+
+def test_cache_key_non_bmp_prompt_matches_utf16_djb2(app_src):
+    """Emoji prompts hash over surrogate PAIRS (JS charCodeAt semantics):
+    the interpreter's charCodeAt/length and the independent Python djb2
+    must both count UTF-16 code units or they'd share a blind spot."""
+    params = {"prompt": "a cat \U0001F431", "size": "512x512",
+              "num_inference_steps": 4.0, "guidance_scale": 1.0,
+              "seed": 7.0}
+    key = _cache_key(app_src, params)
+    normalized = {"p": "a cat \U0001F431", "sz": "512x512", "st": 4,
+                  "cfg": 1, "sd": 7, "sr": 0, "srf": "", "neg": "",
+                  "sty": "", "md": ""}
+    expect = _djb2_hex(json.dumps(normalized, separators=(",", ":"),
+                                  ensure_ascii=False))
+    assert key == expect
 
 
 def test_cache_key_normalization_behaviors(app_src):
@@ -175,6 +236,14 @@ def test_parse_png_text_edge_cases(app_src):
     # latin-1 payloads decode (the spec encoding)
     out = _parse_png(app_src, png_encode(arr, metadata={"t": "caf\xe9"}))
     assert out["t"] == "caf\xe9"
+    # truncated file: a chunk length pointing past the buffer must stop
+    # parsing, not throw (browsers raise RangeError on the oob Uint8Array
+    # view — the guard in parsePngText returns what was parsed so far;
+    # minijs enforces the same RangeError so this is a REAL behavior test)
+    full = png_encode(arr, metadata={"parameters": "x" * 200})
+    truncated = full[: len(full) // 2]
+    out = _parse_png(app_src, truncated)
+    assert isinstance(dict(out), dict)  # no crash; partial or empty
 
 
 # ---------------------------------------------------------------------------

@@ -71,6 +71,10 @@ function parsePngText(buf) {
   let off = 8;
   while (off + 8 <= buf.byteLength) {
     const len = dv.getUint32(off);
+    // malformed/truncated chunk: a declared length past the buffer end
+    // would make the Uint8Array view below throw RangeError and kill the
+    // drop handler — stop parsing instead
+    if (off + 8 + len > buf.byteLength) return out;
     const type = String.fromCharCode(
       dv.getUint8(off + 4), dv.getUint8(off + 5),
       dv.getUint8(off + 6), dv.getUint8(off + 7));
