@@ -366,3 +366,86 @@ def test_prune_messages_noop_under_limit(app_src):
     it.call("pruneMessages")
     assert len(box.children) == 2 and revoked == []
     assert box.scrollTop == 500.0
+
+
+# ---------------------------------------------------------------------------
+# dream-mode mutation logic (dreamVariation / mutateParams / eightDigitSeed)
+# ---------------------------------------------------------------------------
+
+
+def _extract_const(src, name):
+    import re
+
+    m = re.search(rf"const {name} = \[", src)
+    end = src.index("];", m.start())
+    return src[m.start():end + 2]
+
+
+def _dream_env(app_src, rng_seed=0, steps="4", cfg="1"):
+    """Interpreter with a REAL seeded PRNG injected over Math.random (the
+    built-in stub returns 0.5, which would hide distributional behavior)."""
+    import math as pymath
+    import random as pyrandom
+
+    rng = pyrandom.Random(rng_seed)
+    fields = {"p-steps": FakeField(), "p-cfg": FakeField()}
+    fields["p-steps"].value = steps
+    fields["p-cfg"].value = cfg
+    it = Interpreter(globals_={"$": lambda fid: fields[fid]})
+    it.globals.vars["Math"] = {
+        **it.globals.get("Math"),
+        "random": lambda: rng.random(),
+    }
+    it.run(_extract_const(app_src, "DREAM_MODIFIERS"))
+    for fn in ("eightDigitSeed", "dreamVariation", "mutateParams"):
+        it.run(extract_function(app_src, fn))
+    return it, fields
+
+
+def test_dream_seed_is_always_eight_digits(app_src):
+    it, _ = _dream_env(app_src)
+    for _ in range(200):
+        seed = it.call("eightDigitSeed")
+        assert 10000000 <= seed <= 99999999 and seed == int(seed)
+
+
+def test_dream_variation_modifier_contract(app_src):
+    it, _ = _dream_env(app_src, rng_seed=3)
+    mods_src = _extract_const(app_src, "DREAM_MODIFIERS")
+    for temp in (0.0, 0.5, 1.0):
+        for _ in range(50):
+            out = it.call("dreamVariation", "  a cat  ", temp)
+            assert out.startswith("a cat")  # base prompt trimmed
+            suffix = out[len("a cat"):]
+            mods = [m for m in suffix.split(", ") if m]
+            # numMods = floor(rand * (1 + 3*temp)) + 1 → max is
+            # floor(1 + 3*temp - eps) + 1; no duplicates; all known
+            import math as pymath
+
+            max_mods = int(pymath.ceil(1 + 3 * temp)) if (1 + 3 * temp) != int(
+                1 + 3 * temp) else int(1 + 3 * temp)
+            assert 1 <= len(mods) <= max_mods
+            assert len(mods) == len(set(mods))
+            for m in mods:
+                assert f'"{m}"' in mods_src, f"unknown modifier {m!r}"
+
+
+def test_mutate_params_bounds_and_temperature(app_src):
+    # temperature 0: only a fresh seed, params untouched
+    it, _ = _dream_env(app_src, rng_seed=1)
+    out = it.call("mutateParams", 0.0)
+    assert set(out.keys()) == {"seed"}
+    # temperature 1: whatever mutates stays inside the serving contract's
+    # validation bounds (steps 1..50, guidance 0..20)
+    it, _ = _dream_env(app_src, rng_seed=2, steps="48", cfg="19.5")
+    saw_steps = saw_cfg = False
+    for _ in range(100):
+        out = it.call("mutateParams", 1.0)
+        assert 10000000 <= out["seed"] <= 99999999
+        if "num_inference_steps" in out:
+            saw_steps = True
+            assert 1 <= out["num_inference_steps"] <= 50
+        if "guidance_scale" in out:
+            saw_cfg = True
+            assert 0 <= out["guidance_scale"] <= 20
+    assert saw_steps and saw_cfg
